@@ -1,0 +1,26 @@
+"""Test config: force an 8-device virtual CPU mesh before any JAX computation.
+
+Note: the axon TPU plugin's sitecustomize calls ``axon.register`` at interpreter
+start, which force-sets ``jax_platforms="axon,cpu"`` — a plain JAX_PLATFORMS env
+var is NOT enough; we must update jax.config after import.
+
+Multi-chip sharding (pjit/shard_map) is validated on virtual CPU devices exactly
+as the driver's dryrun does; real-TPU benches live in bench.py, not the test suite.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
