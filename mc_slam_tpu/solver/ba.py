@@ -1,0 +1,143 @@
+"""Concrete bundle-adjustment problems assembled on the LM + Schur engine.
+
+Replaces the vision-only g2o graph constructions of the reference:
+  * pose_only_visual  ~ Optimizer::PoseOptimization(Frame)    (src/Optimizer.cpp:3610)
+  * visual_ba         ~ Optimizer::BundleAdjustment / LocalBundleAdjustment
+                        (src/Optimizer.cpp:3377, 3858)
+All problems are fixed-shape: padded observation tables with validity weights.
+Outlier gating mirrors the reference's chi2 thresholds (5.991 for mono) but runs
+as IRLS re-weighting + a final classification mask instead of graph surgery.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import Camera
+from mc_slam_tpu.solver import factors, lm
+
+CHI2_MONO = 5.991  # 95% quantile of chi2(2), reference's mono gate
+
+
+class VisualObs(NamedTuple):
+    """Padded monocular observation table for BA."""
+    cam: jnp.ndarray    # (O,) int32 camera index
+    pt: jnp.ndarray     # (O,) int32 point index
+    uv: jnp.ndarray     # (O, 2) ideal (undistorted) pixels
+    inv_sigma2: jnp.ndarray  # (O,) per-level information scale (1/1.2^(2*level))
+    valid: jnp.ndarray  # (O,) {0,1}
+
+
+class VisualBAConfig(NamedTuple):
+    iters: int = 10
+    huber_delta2: float = CHI2_MONO
+    lam0: float = 1e-4
+
+
+def _obs_weights(r, z, inv_sigma2, valid, delta2):
+    """Robust scalar weight per obs: info * huber(chi2) * valid * (z > 0)."""
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    w_rob = lm.huber_weight(chi2, delta2)
+    pos = (z > 1e-6).astype(r.dtype)
+    return inv_sigma2 * w_rob * valid * pos, chi2
+
+
+def _robust_cost(r, z, inv_sigma2, valid, delta2):
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    pos = (z > 1e-6).astype(r.dtype)
+    # out-of-frustum points contribute the saturated huber cost, not zero, so the
+    # optimizer can't "win" by pushing points behind the camera
+    chi2_eff = jnp.where(pos > 0, chi2, jnp.full_like(chi2, 4.0 * delta2))
+    return jnp.sum(valid * lm.huber_cost(chi2_eff, delta2))
+
+
+# ---------------------------------------------------------------------------
+# Pose-only optimization (tracking hot path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("iters",))
+def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
+                     ext: factors.Extrinsics, iters: int = 40,
+                     huber_delta2: float = CHI2_MONO):
+    """Optimize a single body pose against fixed world points.
+
+    P0 (3,), R0 (3,3); pts_w (Np,3) fixed. obs.cam is ignored (single pose).
+    Returns (P, R, chi2 (O,), n_inlier).
+    """
+    pts_o = pts_w[obs.pt]
+
+    def cost_fn(x):
+        P, R = x
+        r, _, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
+        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+
+    def linearize_solve(x, lam):
+        P, R = x
+        r, J_pr, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        H = jnp.einsum('o,orc,ord->cd', w, J_pr, J_pr)
+        g = jnp.einsum('o,orc,or->c', w, J_pr, r)
+        H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-10)
+        L, low = jax.scipy.linalg.cho_factor(H, lower=True)
+        return jax.scipy.linalg.cho_solve((L, low), -g)
+
+    def retract(x, dx):
+        P, R = x
+        return (P + dx[:3], R @ lie.so3_exp(dx[3:6]))
+
+    (P, R), cost, _ = lm.lm_optimize((P0, R0), linearize_solve, retract, cost_fn, iters)
+    r, _, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
+    chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+    inlier = (chi2 <= huber_delta2) & (z > 0) & (obs.valid > 0)
+    return P, lie.so3_normalize_fast(R), chi2, jnp.sum(inlier)
+
+
+# ---------------------------------------------------------------------------
+# Full visual BA with landmark Schur complement
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("iters",))
+def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
+              free_cam, pt_mask, iters: int = 10, huber_delta2: float = CHI2_MONO,
+              lam0: float = 1e-4):
+    """Joint camera + landmark BA.
+
+    P0 (Nc,3), R0 (Nc,3,3), pts0 (Np,3). free_cam (Nc,) float {0,1}; pt_mask (Np,).
+    Returns (P, R, pts, chi2 (O,), final_cost).
+    """
+    Nc, Np = P0.shape[0], pts0.shape[0]
+    DC, DP = 6, 3
+
+    def per_obs(x):
+        P, R, pts = x
+        return factors.reproj_xyz(camera, ext, P[obs.cam], R[obs.cam], pts[obs.pt], obs.uv)
+
+    def cost_fn(x):
+        r, _, _, z = per_obs(x)
+        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+
+    def linearize_solve(x, lam):
+        r, J_pr, J_pt, z = per_obs(x)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
+                            Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
+        Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(o, free_cam, Nc, DC, Np, DP)
+        dxc, dxp = lm.schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_cam, pt_mask)
+        return dxc, dxp
+
+    def retract(x, dx):
+        P, R, pts = x
+        dxc, dxp = dx
+        return (P + dxc[:, :3], R @ lie.so3_exp(dxc[:, 3:6]), pts + dxp)
+
+    (P, R, pts), cost, _ = lm.lm_optimize(
+        (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+    R = lie.so3_normalize_fast(R)
+    r, _, _, z = per_obs((P, R, pts))
+    chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+    chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
+    return P, R, pts, chi2, cost

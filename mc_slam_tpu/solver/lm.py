@@ -1,0 +1,207 @@
+"""Levenberg-Marquardt engine with dense-block Schur complement — the TPU-native
+replacement for the reference's vendored g2o (Thirdparty/g2o: sparse_optimizer,
+block_solver with landmark Schur marginalization, optimization_algorithm_levenberg,
+linear_solver_eigen/cholmod).
+
+Design (TPU-first, see SURVEY.md section 7 step 4):
+* The camera system is DENSE: H_cc lives as (Nc, DC, Nc, DC). SLAM camera counts
+  (local window ~25, global a few hundred) make the reduced system a small dense
+  matrix that XLA Cholesky eats for free; sparsity tricks that pay on CPUs are
+  anti-patterns on the MXU.
+* Landmarks are Schur-marginalized with batched 3x3 (or 1x1 inverse-depth) block
+  inverses and ONE big matmul for the camera-camera correction — this is the term
+  that later shards across devices (landmark chunks per chip + psum).
+* Robustness: Huber IRLS weights folded into per-observation information.
+* Fixed vertices: a free-mask zeroes their Jacobian columns and the reduced system
+  gets identity rows on their blocks, so one code path serves all gauge choices.
+* The LM loop is a fixed-iteration jitted loop: one linearization per iteration,
+  candidate accepted by strict cost decrease (NaN-safe: NaN candidates reject and
+  raise lambda), matching the reference's fixed 4x10-iteration usage pattern
+  (src/Optimizer.cpp:1920-1980) without data-dependent Python control flow.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def huber_weight(chi2, delta_sq):
+    """IRLS weight for the Huber kernel on squared error chi2 (g2o RobustKernelHuber):
+    w = 1 for chi2 <= delta^2 else delta/sqrt(chi2)."""
+    safe = jnp.maximum(chi2, 1e-12)
+    return jnp.where(chi2 <= delta_sq, jnp.ones_like(chi2), jnp.sqrt(delta_sq / safe))
+
+
+def huber_cost(chi2, delta_sq):
+    """rho(chi2): chi2 below the knee, 2*delta*sqrt(chi2) - delta^2 above."""
+    safe = jnp.maximum(chi2, 1e-12)
+    return jnp.where(chi2 <= delta_sq, chi2, 2.0 * jnp.sqrt(delta_sq * safe) - delta_sq)
+
+
+class Observations(NamedTuple):
+    """A batch of landmark-observation factors with up to K camera blocks each.
+
+    K = 1 for plain XYZ reprojection, K = 2 for anchored inverse-depth (anchor +
+    observer). All arrays are padded to fixed shapes; `w` == 0 disables an entry.
+    """
+    cam: jnp.ndarray    # (O, K) int32 camera indices
+    pt: jnp.ndarray     # (O,)   int32 landmark indices
+    Jc: jnp.ndarray     # (O, K, R, DC) camera Jacobian blocks (R = residual dim)
+    Jp: jnp.ndarray     # (O, R, DP) landmark Jacobian
+    r: jnp.ndarray      # (O, R) residuals
+    w: jnp.ndarray      # (O,) scalar weight (info * robust * valid); isotropic info
+
+
+class CamFactors(NamedTuple):
+    """Camera-only factors (IMU chain, bias RW, priors, pose-graph edges) with up
+    to K camera blocks and a full RxR information matrix each."""
+    cam: jnp.ndarray    # (F, K) int32
+    J: jnp.ndarray      # (F, K, R, DC)
+    r: jnp.ndarray      # (F, R)
+    info: jnp.ndarray   # (F, R, R)
+    w: jnp.ndarray      # (F,) robust/valid scalar
+
+
+def _apply_free_mask(J, cam, free_mask):
+    """Zero Jacobian blocks of fixed cameras. J: (..., K, R, DC), cam: (..., K)."""
+    m = free_mask[cam]  # (..., K)
+    return J * m[..., None, None]
+
+
+def accumulate_cam_factors(H, g, cost, fac: CamFactors, free_mask):
+    """Scatter camera-only factors into the dense camera system.
+
+    H: (Nc, DC, Nc, DC), g: (Nc, DC). Returns updated (H, g, cost).
+    """
+    J = _apply_free_mask(fac.J, fac.cam, free_mask)
+    wInfo = fac.info * fac.w[..., None, None]              # (F, R, R)
+    # cost uses the UNMASKED residual (fixed cams still contribute error)
+    cost = cost + jnp.sum(fac.w * jnp.einsum('fr,frs,fs->f', fac.r, fac.info, fac.r))
+    JtW = jnp.einsum('fkrc,frs->fksc', J, wInfo)           # (F, K, R->s?, ...) J^T W
+    g_blocks = jnp.einsum('fksc,fs->fkc', JtW, fac.r)      # (F, K, DC)
+    H_blocks = jnp.einsum('fksc,flsd->fklcd', JtW, J)      # (F, K, K, DC, DC)
+    K = fac.cam.shape[-1]
+    g = g.at[fac.cam.reshape(-1)].add(g_blocks.reshape(-1, g.shape[-1]))
+    ca = jnp.repeat(fac.cam, K, axis=-1).reshape(-1)       # (F*K*K,) row cam
+    cb = jnp.tile(fac.cam, (1, K)).reshape(-1)             # (F*K*K,) col cam
+    H = H.at[ca, :, cb, :].add(H_blocks.reshape(-1, H.shape[1], H.shape[3]))
+    return H, g, cost
+
+
+def build_landmark_system(obs: Observations, free_mask, Nc, DC, Np, DP):
+    """Accumulate reprojection factors into (H_cc, g_c) plus the landmark-side
+    blocks needed for Schur: Hpp (Np,DP,DP), g_p (Np,DP), Wcp (Nc,DC,Np,DP), cost.
+    """
+    dtype = obs.r.dtype
+    Jc = _apply_free_mask(obs.Jc, obs.cam, free_mask)       # (O,K,R,DC)
+    w = obs.w                                               # (O,)
+    cost = jnp.sum(w * jnp.sum(obs.r * obs.r, axis=-1))
+
+    wJp = obs.Jp * w[..., None, None]                       # (O,R,DP)
+    Hpp = jnp.zeros((Np, DP, DP), dtype).at[obs.pt].add(
+        jnp.einsum('ord,ore->ode', wJp, obs.Jp))
+    g_p = jnp.zeros((Np, DP), dtype).at[obs.pt].add(
+        jnp.einsum('ord,or->od', wJp, obs.r))
+
+    wJc = Jc * w[..., None, None, None]                     # (O,K,R,DC)
+    g_c = jnp.zeros((Nc, DC), dtype).at[obs.cam.reshape(-1)].add(
+        jnp.einsum('okrc,or->okc', wJc, obs.r).reshape(-1, DC))
+
+    K = obs.cam.shape[-1]
+    Hcc_blocks = jnp.einsum('okrc,olrd->oklcd', wJc, obs.Jc)  # (O,K,K,DC,DC)
+    ca = jnp.repeat(obs.cam, K, axis=-1).reshape(-1)
+    cb = jnp.tile(obs.cam, (1, K)).reshape(-1)
+    Hcc = jnp.zeros((Nc, DC, Nc, DC), dtype).at[ca, :, cb, :].add(
+        Hcc_blocks.reshape(-1, DC, DC))
+
+    Wcp_blocks = jnp.einsum('okrc,ord->okcd', wJc, obs.Jp)    # (O,K,DC,DP)
+    Wcp = jnp.zeros((Nc, DC, Np, DP), dtype).at[
+        obs.cam.reshape(-1), :, jnp.repeat(obs.pt[:, None], K, axis=-1).reshape(-1), :
+    ].add(Wcp_blocks.reshape(-1, DC, DP))
+    return Hcc, g_c, Hpp, g_p, Wcp, cost
+
+
+def schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
+    """Damped Schur solve. Returns (dxc (Nc,DC), dxp (Np,DP)).
+
+    lam: LM damping (scalar). Fixed cameras get identity blocks; empty landmarks
+    are masked out of the back-substitution.
+    """
+    Nc, DC, Np, DP = Wcp.shape
+    dtype = Hcc.dtype
+    # damp landmark blocks (multiplicative on diagonal + small absolute floor)
+    eyep = jnp.eye(DP, dtype=dtype)
+    diag_p = Hpp * eyep
+    Hpp_d = Hpp + lam * diag_p + 1e-8 * eyep
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+    Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)           # (Nc,DC,Np,DP)
+    # reduced camera system
+    S = Hcc - jnp.einsum('cipk,djpk->cidj', Y, Wcp)          # big MXU matmul
+    g_s = g_c - jnp.einsum('cipk,pk->ci', Y, g_p)
+
+    # camera damping: multiplicative on the diagonal of Hcc
+    n = Nc * DC
+    Sf = S.reshape(n, n)
+    diag_c = jnp.diagonal(Hcc.reshape(n, n))
+    Sf = Sf + jnp.diag(lam * diag_c + 1e-10)
+    # fixed cameras: identity row/col
+    fm = jnp.repeat(free_mask, DC)
+    Sf = Sf * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+    g_sf = g_s.reshape(n) * fm
+
+    L, low = jax.scipy.linalg.cho_factor(Sf, lower=True)
+    dxc = jax.scipy.linalg.cho_solve((L, low), -g_sf).reshape(Nc, DC)
+
+    # back-substitute landmarks: dxp = -Hpp_inv (g_p + Wcp^T dxc)
+    rhs = g_p + jnp.einsum('cipj,ci->pj', Wcp, dxc)
+    dxp = -jnp.einsum('pjk,pk->pj', Hpp_inv, rhs)
+    dxp = dxp * pt_mask[:, None]
+    return dxc, dxp
+
+
+def solve_cam_system(H, g, lam, free_mask):
+    """Plain damped solve of a camera-only system (pose-only optim, pose graph)."""
+    Nc, DC = g.shape
+    n = Nc * DC
+    Hf = H.reshape(n, n)
+    diag = jnp.diagonal(Hf)
+    Hf = Hf + jnp.diag(lam * diag + 1e-10)
+    fm = jnp.repeat(free_mask, DC)
+    Hf = Hf * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+    L, low = jax.scipy.linalg.cho_factor(Hf, lower=True)
+    return jax.scipy.linalg.cho_solve((L, low), -(g.reshape(n) * fm)).reshape(Nc, DC)
+
+
+class LMState(NamedTuple):
+    x: object          # pytree of optimized variables
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def lm_optimize(x0, linearize_solve: Callable, retract: Callable, cost_fn: Callable,
+                iters: int, lam0=1e-4, lam_down=0.5, lam_up=4.0, lam_min=1e-9, lam_max=1e6):
+    """Generic fixed-iteration LM driver (jit-friendly).
+
+    linearize_solve(x, lam) -> dx  : builds normal equations at x and solves.
+    retract(x, dx) -> x'           : applies the update on the manifold.
+    cost_fn(x) -> scalar           : robust total cost.
+    """
+    c0 = cost_fn(x0)
+
+    def step(st: LMState, _):
+        dx = linearize_solve(st.x, st.lam)
+        x_new = retract(st.x, dx)
+        c_new = cost_fn(x_new)
+        accept = c_new < st.cost        # False for NaN -> reject
+        x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st.x, x_new)
+        lam = jnp.clip(jnp.where(accept, st.lam * lam_down, st.lam * lam_up), lam_min, lam_max)
+        cost = jnp.where(accept, c_new, st.cost)
+        return LMState(x, lam, cost), cost
+
+    init = LMState(x0, jnp.asarray(lam0, c0.dtype), c0)
+    final, costs = jax.lax.scan(step, init, None, length=iters)
+    return final.x, final.cost, costs
