@@ -1,0 +1,143 @@
+"""Hamming-distance data association kernels.
+
+Replaces ORBmatcher (src/ORBmatcher.cpp): TH_HIGH=100, TH_LOW=50, 30-bin
+rotation histogram, NN-ratio test, windowed projection search. The CPU design
+(per-feature candidate lists via a 64x48 grid) becomes dense masked distance
+matrices: the full NxM Hamming matrix is one int8 matmul on the MXU
+(d = (256 - a.b)/2 for +/-1 descriptors), and every search mode is a mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_BINS = 30
+BIG = jnp.int32(10_000)
+
+
+def hamming_matrix(pm1_a, pm1_b):
+    """(Na, 256) x (Nb, 256) +/-1 int8 -> (Na, Nb) int32 Hamming distances.
+
+    dot = 256 - 2*hamming  =>  hamming = (256 - dot) / 2. Runs on the MXU with
+    int8 inputs and int32 accumulation.
+    """
+    dot = jax.lax.dot_general(
+        pm1_a, pm1_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (256 - dot) // 2
+
+
+def hamming_matrix_popcount(desc_a, desc_b):
+    """Packed (Na,8) x (Nb,8) uint32 via XOR+popcount (reference DescriptorDistance,
+    src/ORBmatcher.cpp:25). Useful for small candidate sets / validation."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def rotation_consistency_mask(angle_a, angle_b, match_b_for_a, matched_mask,
+                              keep_bins=3):
+    """30-bin relative-rotation histogram filter (ORBmatcher::ComputeThreeMaxima,
+    src/ORBmatcher.cpp:1813-1850): keep matches whose angle difference falls in
+    the `keep_bins` most-populated bins."""
+    db = angle_a - angle_b[match_b_for_a]
+    two_pi = 2.0 * jnp.pi
+    db = jnp.mod(db, two_pi)
+    bins = jnp.clip((db * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(matched_mask.astype(jnp.int32))
+    _, top_idx = jax.lax.top_k(hist, keep_bins)
+    in_top = jnp.zeros(HISTO_BINS, jnp.bool_).at[top_idx].set(True)
+    return matched_mask & in_top[bins]
+
+
+def match_nn(dist, mask, max_dist=TH_LOW, ratio=None):
+    """Mutual-free nearest-neighbor match from a masked distance matrix.
+
+    dist: (Na, Nb) int32; mask: (Na, Nb) bool candidate gate.
+    Returns (idx_b (Na,) int32, best_dist (Na,), ok (Na,) bool).
+    ratio: optional best < ratio * second_best test (reference mfNNratio).
+    """
+    d = jnp.where(mask, dist, BIG)
+    idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
+    ok = best <= max_dist
+    if ratio is not None:
+        d2 = d.at[jnp.arange(d.shape[0]), idx].set(BIG)
+        second = jnp.min(d2, axis=1)
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    return idx, best, ok
+
+
+def resolve_duplicates(idx_b, best, ok, Nb):
+    """Keep only the best match per target b (reference replaces worse duplicates,
+    e.g. SearchByProjection dedup). Returns updated ok mask."""
+    d = jnp.where(ok, best, BIG)
+    best_for_b = jnp.full((Nb,), BIG).at[idx_b].min(d)
+    # an entry survives if it achieves the per-b minimum; break exact ties by
+    # keeping the lowest row index
+    is_min = ok & (d == best_for_b[idx_b])
+    rows = jnp.arange(idx_b.shape[0], dtype=jnp.int32)
+    first_row = jnp.full((Nb,), jnp.int32(2**30)).at[idx_b].min(
+        jnp.where(is_min, rows, jnp.int32(2**30)))
+    return is_min & (first_row[idx_b] == rows)
+
+
+def window_mask(uv_a, uv_b, radius, level_a=None, level_b=None, level_tol=1):
+    """(Na, Nb) gate: |uv_a - uv_b| within a square window of `radius` pixels
+    (the grid-search window of GetFeaturesInArea, src/Frame.cpp:562), optionally
+    constrained to nearby pyramid levels."""
+    du = jnp.abs(uv_a[:, None, 0] - uv_b[None, :, 0])
+    dv = jnp.abs(uv_a[:, None, 1] - uv_b[None, :, 1])
+    m = (du < radius) & (dv < radius)
+    if level_a is not None:
+        dl = jnp.abs(level_a[:, None] - level_b[None, :])
+        m = m & (dl <= level_tol)
+    return m
+
+
+def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
+                         feat_uv, feat_level, feat_pm1, feat_valid,
+                         radius_px, max_dist=TH_HIGH, ratio=0.9):
+    """Project-and-match: map points (projected to proj_uv) vs frame features.
+
+    Mirrors ORBmatcher::SearchByProjection (map-points variant, ORBmatcher.h:38-61):
+    windowed candidate gate by predicted position and scale level, Hamming NN with
+    ratio test, per-feature dedup.
+
+    Returns (feat_idx (Nm,), dist (Nm,), ok (Nm,)) — a feature index per map point.
+    """
+    dist = hamming_matrix(proj_pm1, feat_pm1)
+    gate = window_mask(proj_uv, feat_uv, radius_px, proj_level, feat_level)
+    gate = gate & proj_valid[:, None] & feat_valid[None, :]
+    idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
+    ok = resolve_duplicates(idx, best, ok, feat_uv.shape[0])
+    return idx, best, ok
+
+
+def search_for_initialization(f0_uv, f0_pm1, f0_valid, f1_uv, f1_pm1, f1_valid,
+                              radius=100.0, max_dist=TH_LOW, ratio=0.9):
+    """Frame-frame matching for monocular 2-view bootstrap
+    (ORBmatcher::SearchForInitialization, src/ORBmatcher.cpp): window around the
+    same position, low threshold, ratio test, dedup."""
+    dist = hamming_matrix(f0_pm1, f1_pm1)
+    gate = window_mask(f0_uv, f1_uv, radius)
+    gate = gate & f0_valid[:, None] & f1_valid[None, :]
+    idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
+    ok = resolve_duplicates(idx, best, ok, f1_uv.shape[0])
+    return idx, best, ok
+
+
+def mutual_match(pm1_a, valid_a, pm1_b, valid_b, max_dist=TH_LOW, ratio=0.75):
+    """Unwindowed mutual NN matching (used where the reference uses SearchByBoW —
+    the BoW node gating is a CPU pruning trick; on the MXU the full matrix is
+    cheaper than the bookkeeping)."""
+    dist = hamming_matrix(pm1_a, pm1_b)
+    gate = valid_a[:, None] & valid_b[None, :]
+    idx_ab, best_ab, ok_ab = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
+    idx_ba = jnp.argmin(jnp.where(gate, dist, BIG).T, axis=1)
+    mutual = idx_ba[idx_ab] == jnp.arange(pm1_a.shape[0])
+    return idx_ab, best_ab, ok_ab & mutual
