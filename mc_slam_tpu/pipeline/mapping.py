@@ -1,0 +1,222 @@
+"""Local-mapping stage kernels (jitted, fixed-shape).
+
+Replaces LocalMapping (src/LocalMapping.cpp): map-point culling (:1189), new
+map-point creation by epipolar-matched triangulation with covisible neighbors
+(:1241), neighbor fusion (:1550), local-BA problem gather/scatter, and keyframe
+culling (:1777). All dynamic structure (variable match counts, free map slots)
+is padded + masked; free-slot allocation uses a sort over the inactive mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import Camera
+from mc_slam_tpu.frontend import matching
+from mc_slam_tpu.geometry.triangulation import parallax_cos, triangulate_two_view
+from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, observation_counts
+from mc_slam_tpu.solver import factors
+
+
+# ---------------------------------------------------------------------------
+# Map-point culling (LocalMapping::MapPointCulling, src/LocalMapping.cpp:1189):
+# bad if found/visible < 0.25, or if >= 2 KFs old with < 3 observations.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cull_map_points(m: MapState, current_kf_id):
+    obs_n = observation_counts(m)
+    found_ratio = m.mp_found / jnp.maximum(m.mp_visible, 1.0)
+    age = current_kf_id - m.mp_first_kf
+    bad = (found_ratio < 0.25) & (m.mp_visible >= 4)
+    bad = bad | ((age >= 2) & (obs_n < 3) & (age <= 4))
+    deactivate = m.mp_active & bad
+    new_active = m.mp_active & ~bad
+    # remove dangling feature associations
+    mp_ok = jnp.concatenate([new_active, jnp.asarray([False])])  # -1 -> last
+    kf_mp = jnp.where(mp_ok[jnp.clip(m.kf_mp, -1, m.P - 1)] & (m.kf_mp >= 0),
+                      m.kf_mp, -1)
+    return m._replace(mp_active=new_active, kf_mp=kf_mp), jnp.sum(deactivate)
+
+
+# ---------------------------------------------------------------------------
+# New map points: triangulate epipolar matches between the new KF and a
+# neighbor KF. One neighbor per call (host loops over top-N covisible KFs).
+# ---------------------------------------------------------------------------
+
+class TriangulationBudget(NamedTuple):
+    max_new: int
+
+
+@partial(jax.jit, static_argnames=("max_new",))
+def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
+                                ext: factors.Extrinsics, max_new: int = 256,
+                                max_dist=matching.TH_LOW, min_parallax_cos=0.99996):
+    """Triangulate new landmarks from unassociated features of KF a vs KF b.
+
+    Mirrors CreateNewMapPoints (src/LocalMapping.cpp:1241): match free features
+    along epipolar geometry (here: descriptor NN + epipolar residual gate),
+    triangulate, audit depth/parallax/reprojection, allocate into free slots.
+    """
+    Fn = m.F
+    # camera poses (world-from-camera) from body NavStates
+    def cam_pose(k):
+        Rwb = m.kf_ns.R[k]
+        Pwb = m.kf_ns.P[k]
+        Rbc = jnp.swapaxes(ext.Rcb, -1, -2)
+        pbc = -(Rbc @ ext.tcb[..., None])[..., 0]
+        return Rwb @ Rbc, (Rwb @ pbc[..., None])[..., 0] + Pwb
+
+    Rwc_a, Cwa = cam_pose(kf_a)
+    Rwc_b, Cwb = cam_pose(kf_b)
+
+    free_a = m.kf_feat_valid[kf_a] & (m.kf_mp[kf_a] < 0)
+    free_b = m.kf_feat_valid[kf_b] & (m.kf_mp[kf_b] < 0)
+    dist = matching.hamming_matrix(m.kf_pm1[kf_a], m.kf_pm1[kf_b])
+    gate = free_a[:, None] & free_b[None, :]
+    idx_b, best, ok = matching.match_nn(dist, gate, max_dist=max_dist, ratio=0.8)
+    ok = matching.resolve_duplicates(idx_b, best, ok, Fn)
+
+    # normalized coords
+    def norm(uv):
+        return jnp.stack([(uv[..., 0] - cam.cx) / cam.fx,
+                          (uv[..., 1] - cam.cy) / cam.fy], -1)
+    xn_a = norm(m.kf_uv[kf_a])
+    xn_b = norm(m.kf_uv[kf_b][idx_b])
+    Xw, da, db = triangulate_two_view(Rwc_a, Cwa, Rwc_b, Cwb, xn_a, xn_b)
+    cosp = parallax_cos(Cwa, Cwb, Xw)
+    # reprojection audit (2 px at level-0, scaled by level sigma)
+    def reproj_err(Rwc, Cw, uv):
+        Pc = (jnp.swapaxes(Rwc, -1, -2) @ (Xw - Cw)[..., None])[..., 0]
+        z = jnp.maximum(Pc[..., 2], 1e-9)
+        u = cam.fx * Pc[..., 0] / z + cam.cx
+        v = cam.fy * Pc[..., 1] / z + cam.cy
+        return jnp.sum((jnp.stack([u, v], -1) - uv) ** 2, -1)
+    e_a = reproj_err(Rwc_a, Cwa, m.kf_uv[kf_a])
+    e_b = reproj_err(Rwc_b, Cwb, m.kf_uv[kf_b][idx_b])
+    sig_a = 1.2 ** (2.0 * m.kf_level[kf_a].astype(jnp.float32))
+    good = ok & (da > 0.05) & (db > 0.05) & (cosp < min_parallax_cos) \
+        & (e_a < 5.991 * sig_a) & (e_b < 5.991 * sig_a) \
+        & jnp.all(jnp.isfinite(Xw), -1)
+
+    # keep at most max_new, best Hamming first
+    order = jnp.argsort(jnp.where(good, best, matching.BIG))[:max_new]
+    take_good = good[order]
+    # free map slots: first inactive indices
+    slot_order = jnp.argsort(m.mp_active)[:max_new]          # False sorts first
+    slot_free = ~m.mp_active[slot_order]
+    write = take_good & slot_free
+    slots = jnp.where(write, slot_order, m.P)                # drop when not writing
+
+    dist_a = jnp.linalg.norm(Xw[order] - Cwa, axis=-1)
+    lvl = m.kf_level[kf_a][order].astype(jnp.float32)
+    max_d = dist_a * (1.2 ** lvl)
+    min_d = max_d / (1.2 ** 7)
+    normal = (Xw[order] - Cwa) / jnp.maximum(dist_a, 1e-9)[:, None]
+
+    mp_pos = m.mp_pos.at[slots].set(Xw[order], mode="drop")
+    mp_desc = m.mp_desc.at[slots].set(m.kf_desc[kf_a][order], mode="drop")
+    mp_pm1 = m.mp_pm1.at[slots].set(m.kf_pm1[kf_a][order], mode="drop")
+    mp_normal = m.mp_normal.at[slots].set(normal, mode="drop")
+    mp_min = m.mp_min_dist.at[slots].set(min_d, mode="drop")
+    mp_max = m.mp_max_dist.at[slots].set(max_d, mode="drop")
+    mp_ref = m.mp_ref_kf.at[slots].set(kf_a, mode="drop")
+    mp_first = m.mp_first_kf.at[slots].set(m.kf_id[kf_a], mode="drop")
+    mp_found = m.mp_found.at[slots].set(2.0, mode="drop")
+    mp_vis = m.mp_visible.at[slots].set(2.0, mode="drop")
+    mp_active = m.mp_active.at[slots].set(True, mode="drop")
+
+    # feature associations in both keyframes
+    feat_a = jnp.where(write, order, Fn)
+    feat_b = jnp.where(write, idx_b[order], Fn)
+    kf_mp = m.kf_mp
+    kf_mp = kf_mp.at[kf_a, feat_a].set(slot_order, mode="drop")
+    kf_mp = kf_mp.at[kf_b, feat_b].set(slot_order, mode="drop")
+
+    m2 = m._replace(mp_pos=mp_pos, mp_desc=mp_desc, mp_pm1=mp_pm1,
+                    mp_normal=mp_normal, mp_min_dist=mp_min, mp_max_dist=mp_max,
+                    mp_ref_kf=mp_ref, mp_first_kf=mp_first, mp_found=mp_found,
+                    mp_visible=mp_vis, mp_active=mp_active, kf_mp=kf_mp)
+    return m2, jnp.sum(write)
+
+
+# ---------------------------------------------------------------------------
+# Fuse (SearchInNeighbors, src/LocalMapping.cpp:1550): project KF a's map points
+# into KF b; matched free features gain the association; matched features that
+# already hold a different point keep the better-observed one.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fuse_into_keyframe(m: MapState, kf_src, kf_dst, cam: Camera,
+                       ext: factors.Extrinsics, radius=3.0,
+                       max_dist=matching.TH_LOW):
+    mp_of_src = jnp.where(m.kf_feat_valid[kf_src], m.kf_mp[kf_src], -1)   # (F,)
+    src_has = mp_of_src >= 0
+    mp_idx = jnp.clip(mp_of_src, 0, m.P - 1)
+    # project those points into dst
+    Rwb = m.kf_ns.R[kf_dst]
+    Pwb = m.kf_ns.P[kf_dst]
+    Pb = (jnp.swapaxes(Rwb, -1, -2) @ (m.mp_pos[mp_idx] - Pwb)[..., None])[..., 0]
+    Pc = (ext.Rcb @ Pb[..., None])[..., 0] + ext.tcb
+    z = Pc[..., 2]
+    zs = jnp.maximum(z, 1e-9)
+    uv = jnp.stack([cam.fx * Pc[..., 0] / zs + cam.cx,
+                    cam.fy * Pc[..., 1] / zs + cam.cy], -1)
+    vis = src_has & (z > 0.1) & (uv[..., 0] >= 0) & (uv[..., 0] < cam.width) \
+        & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height) & m.mp_active[mp_idx]
+
+    dist = matching.hamming_matrix(m.mp_pm1[mp_idx], m.kf_pm1[kf_dst])
+    gate = matching.window_mask(uv, m.kf_uv[kf_dst], radius)
+    gate = gate & vis[:, None] & m.kf_feat_valid[kf_dst][None, :]
+    fidx, best, ok = matching.match_nn(dist, gate, max_dist=max_dist)
+    ok = matching.resolve_duplicates(fidx, best, ok, m.F)
+
+    obs_n = observation_counts(m)
+    cur_mp = m.kf_mp[kf_dst]                                  # (F,)
+    tgt_feat = jnp.where(ok, fidx, m.F)
+    # association decision at the target feature: keep the better-observed point
+    cur_at = cur_mp[jnp.clip(fidx, 0, m.F - 1)]
+    cur_obs = jnp.where(cur_at >= 0, obs_n[jnp.clip(cur_at, 0, m.P - 1)], -1.0)
+    new_obs = obs_n[mp_idx]
+    replace = ok & ((cur_at < 0) | (new_obs >= cur_obs))
+    kf_mp = m.kf_mp.at[kf_dst, jnp.where(replace, fidx, m.F)].set(mp_idx, mode="drop")
+    return m._replace(kf_mp=kf_mp), jnp.sum(replace & (cur_at < 0))
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling (LocalMapping::KeyFrameCulling, src/LocalMapping.cpp:1777):
+# a KF is redundant if >= 90% of its tracked points are observed by >= 3 other
+# KFs. VI guards handled by the host (time gaps, window membership).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def kf_redundancy(m: MapState, kf_slot):
+    mp = m.kf_mp[kf_slot]
+    has = (mp >= 0) & m.kf_feat_valid[kf_slot]
+    obs_n = observation_counts(m)
+    n_pts = jnp.sum(has)
+    redundant = jnp.sum(has & (obs_n[jnp.clip(mp, 0, m.P - 1)] >= 4.0))
+    return redundant.astype(jnp.float32) / jnp.maximum(n_pts.astype(jnp.float32), 1.0), n_pts
+
+
+@jax.jit
+def deactivate_keyframe(m: MapState, kf_slot):
+    """Remove a KF: clear its mask and feature associations. (IMU-chain splicing
+    is done by the host, which owns the raw IMU buffers.)"""
+    return m._replace(
+        kf_active=m.kf_active.at[kf_slot].set(False),
+        kf_mp=m.kf_mp.at[kf_slot].set(-1),
+    )
+
+
+@jax.jit
+def update_found_visible(m: MapState, visible_mask, found_mask):
+    """Tracking bookkeeping: IncreaseVisible/IncreaseFound counters."""
+    return m._replace(
+        mp_visible=m.mp_visible + visible_mask.astype(m.mp_visible.dtype),
+        mp_found=m.mp_found + found_mask.astype(m.mp_found.dtype),
+    )

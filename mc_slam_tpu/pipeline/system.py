@@ -1,0 +1,563 @@
+"""SLAM system facade + host orchestrator.
+
+Replaces System (src/System.cpp) and the thread state machines of Tracking /
+LocalMapping (src/Tracking.cpp:799-1228, src/LocalMapping.cpp:988-1099) with a
+deterministic single-loop pipeline (the reference's non-realtime mode,
+test.RealTime: 0): per frame — extract, track; per keyframe — map-point culling,
+triangulation with neighbors, fusion, local BA, keyframe culling; VI
+initialization after enough keyframe baseline. The map lives on device as a
+MapState; the host holds only scalars and small python state (state machine,
+cursors, IMU buffers).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import Camera, undistort_points
+from mc_slam_tpu.frontend import extractor, matching
+from mc_slam_tpu.frontend.extractor import Features
+from mc_slam_tpu.geometry import init2view
+from mc_slam_tpu.imu.navstate import NavState, navstate_identity
+from mc_slam_tpu.imu.preintegration import (IMUNoise, euroc_noise, preint_identity,
+                                            preintegrate, predict_navstate)
+from mc_slam_tpu.pipeline import mapping, tracking, viinit
+from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, empty_map
+from mc_slam_tpu.solver import ba, ba_vi, factors
+from mc_slam_tpu.solver.ba import VisualObs
+
+# tracking state machine (include/Tracking.h:113-120)
+NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST = range(4)
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    max_kf: int = 128
+    max_mp: int = 4096
+    n_feat: int = 512
+    n_levels: int = 4
+    local_window: int = 10          # VI local window (EuRoC uses 20)
+    ba_window: int = 8              # covisible KFs in visual local BA
+    min_init_matches: int = 60
+    min_track_inliers: int = 12
+    kf_min_gap: int = 3             # frames
+    kf_max_gap: int = 20
+    kf_ref_ratio: float = 0.8       # NeedNewKeyFrame ratio (src/Tracking.cpp:1865)
+    max_imu_per_kf: int = 256
+    vi_init_time: float = 15.0      # seconds (config/euroc.yaml:6)
+    g_mag: float = 9.81
+    use_imu: bool = False
+    seed: int = 0
+
+
+class SlamSystem:
+    """Monocular (+IMU) SLAM engine. Feed frames with `track(img, t[, imu])`."""
+
+    def __init__(self, cam: Camera, cfg: SlamConfig = None,
+                 Tbc: Optional[np.ndarray] = None, noise: IMUNoise = None):
+        self.cam = cam
+        self.cfg = cfg or SlamConfig()
+        self.ext = (factors.extrinsics_from_Tbc(Tbc) if Tbc is not None
+                    else factors.identity_extrinsics())
+        self.noise = noise or euroc_noise()
+        self.m = empty_map(self.cfg.max_kf, self.cfg.max_mp, self.cfg.n_feat)
+        self.state = NO_IMAGES_YET
+        self.key = jax.random.PRNGKey(self.cfg.seed)
+
+        # host bookkeeping
+        self.frame_id = 0
+        self.n_kf = 0
+        self.last_kf_slot = -1
+        self.last_kf_frame = 0
+        self.kf_slots: list[int] = []        # active slots in insertion order
+        self.kf_imu_raw: dict[int, np.ndarray] = {}  # slot -> (T,7) since prev KF
+
+        # per-frame state
+        self.init_feats: Features | None = None
+        self.init_uv: jnp.ndarray | None = None
+        self.last_feats: Features | None = None
+        self.last_pose = (jnp.zeros(3), jnp.eye(3))   # body P, R (world-from-body)
+        self.last_ns: NavState = navstate_identity()
+        self.velocity = (jnp.zeros(3), jnp.eye(3))    # relative motion model
+        self.last_time = 0.0
+
+        # VI state
+        self.vi_inited = False
+        self.gw = jnp.asarray([0.0, 0.0, -self.cfg.g_mag])
+        self.imu_since_kf: list[np.ndarray] = []
+        self.imu_since_frame: list[np.ndarray] = []
+        self.first_kf_time = None
+        self.prior: ba_vi.PriorFactor | None = None
+
+        self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+
+    # ------------------------------------------------------------------
+    def _undistort(self, feats: Features):
+        return undistort_points(self.cam, feats.xy)
+
+    def track(self, img, t, imu=None):
+        """Process one frame. img: (H,W) float32; t: time; imu: (T,7) rows
+        [gyro, acc, dt] since the previous frame (VI mode)."""
+        cfg = self.cfg
+        if imu is not None and len(imu):
+            self.imu_since_kf.append(np.asarray(imu, np.float32))
+            self.imu_since_frame = [np.asarray(imu, np.float32)]
+        feats = extractor.extract(jnp.asarray(img, jnp.float32),
+                                  n_features=cfg.n_feat, n_levels=cfg.n_levels)
+        uv = self._undistort(feats)
+        ok = False
+        if self.state == NO_IMAGES_YET:
+            self.init_feats, self.init_uv = feats, uv
+            self.state = NOT_INITIALIZED
+        elif self.state == NOT_INITIALIZED:
+            ok = self._try_initialize(feats, uv, t)
+        else:
+            ok = self._track_frame(feats, uv, t)
+            if ok and self._need_new_kf():
+                self._create_keyframe(feats, uv, t)
+                self._local_mapping()
+            if ok and not self.vi_inited and cfg.use_imu:
+                self._maybe_vi_init(t)
+        self.last_feats = feats
+        self.last_time = t
+        self.frame_id += 1
+        if self.state == OK:
+            P, R = self.last_pose
+            self.trajectory.append((t, np.asarray(P), np.asarray(R)))
+        return ok
+
+    # ------------------------------------------------------------------
+    # Monocular initialization (Tracking::MonocularInitialization :1322)
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, uv, t):
+        cfg = self.cfg
+        f0, uv0 = self.init_feats, self.init_uv
+        idx, best, ok = matching.search_for_initialization(
+            uv0, f0.desc_pm1, f0.valid, uv, feats.desc_pm1, feats.valid,
+            radius=100.0, ratio=0.9)
+        n = int(jnp.sum(ok))
+        if n < cfg.min_init_matches:
+            # too few matches: make this the new reference (reference resets too)
+            self.init_feats, self.init_uv = feats, uv
+            return False
+        focal = float(self.cam.fx)
+        xn0 = (uv0 - jnp.asarray([self.cam.cx, self.cam.cy])) / jnp.asarray(
+            [self.cam.fx, self.cam.fy])
+        xn1_all = (uv - jnp.asarray([self.cam.cx, self.cam.cy])) / jnp.asarray(
+            [self.cam.fx, self.cam.fy])
+        xn1 = xn1_all[idx]
+        self.key, sub = jax.random.split(self.key)
+        res = init2view.initialize_two_view(sub, xn0, xn1,
+                                            ok.astype(jnp.float32), focal)
+        if not bool(res.ok):
+            return False
+        # scale: median depth of good points -> 1 (CreateInitialMapMonocular)
+        good = np.asarray(res.good)
+        Xw = np.asarray(res.Xw)
+        med = float(np.median(Xw[good][:, 2])) if good.sum() else 1.0
+        if med <= 1e-6:
+            return False
+        scale = 1.0 / med
+        Xw = Xw * scale
+        C1 = np.asarray(res.t) * scale
+
+        # KF0 at camera origin, KF1 at (R,C1) — body == camera during visual init;
+        # we store body poses assuming ext maps body->cam (apply inverse ext)
+        self._insert_kf_raw(jnp.zeros(3), jnp.eye(3), f0, uv0, t_kf=self.last_time,
+                            cam_frame=True)
+        slot1 = self._insert_kf_raw(jnp.asarray(C1), jnp.asarray(res.R), feats, uv,
+                                    t_kf=t, cam_frame=True)
+        # allocate map points and associations
+        good_idx = np.nonzero(good)[0]
+        m = self.m
+        slots = np.arange(len(good_idx), dtype=np.int32)
+        mp_pos = m.mp_pos.at[slots].set(jnp.asarray(Xw[good_idx]))
+        desc = f0.desc[good_idx]
+        pm1 = f0.desc_pm1[good_idx]
+        cwa = np.zeros(3, np.float32)
+        dist_a = np.linalg.norm(Xw[good_idx] - cwa, axis=1).astype(np.float32)
+        lvl = np.asarray(f0.level)[good_idx].astype(np.float32)
+        max_d = dist_a * (1.2 ** lvl)
+        min_d = max_d / (1.2 ** (self.cfg.n_levels - 1))
+        m = m._replace(
+            mp_pos=mp_pos,
+            mp_desc=m.mp_desc.at[slots].set(desc),
+            mp_pm1=m.mp_pm1.at[slots].set(pm1),
+            mp_normal=m.mp_normal.at[slots].set(
+                jnp.asarray(Xw[good_idx] / np.maximum(dist_a, 1e-9)[:, None])),
+            mp_min_dist=m.mp_min_dist.at[slots].set(jnp.asarray(min_d)),
+            mp_max_dist=m.mp_max_dist.at[slots].set(jnp.asarray(max_d)),
+            mp_ref_kf=m.mp_ref_kf.at[slots].set(0),
+            mp_first_kf=m.mp_first_kf.at[slots].set(0),
+            mp_found=m.mp_found.at[slots].set(2.0),
+            mp_visible=m.mp_visible.at[slots].set(2.0),
+            mp_active=m.mp_active.at[slots].set(True),
+            kf_mp=m.kf_mp
+                .at[0, jnp.asarray(good_idx)].set(jnp.asarray(slots))
+                .at[slot1, jnp.asarray(np.asarray(idx)[good_idx])].set(jnp.asarray(slots)),
+        )
+        self.m = m
+        # initial visual BA over the two views (GlobalBundleAdjustment(20))
+        self._local_ba(force_all=True)
+        self.last_pose = self._kf_body_pose(slot1)
+        self.velocity = (jnp.zeros(3), jnp.eye(3))
+        self.state = OK
+        return True
+
+    def _kf_body_pose(self, slot):
+        return self.m.kf_ns.P[slot], self.m.kf_ns.R[slot]
+
+    def _cam_to_body(self, P_c, R_c):
+        """Camera pose (world-from-camera) -> body pose via extrinsics."""
+        Rbc = jnp.swapaxes(self.ext.Rcb, -1, -2)
+        pbc = -(Rbc @ self.ext.tcb[..., None])[..., 0]
+        R_b = R_c @ jnp.swapaxes(Rbc, -1, -2)
+        P_b = P_c - (R_b @ pbc[..., None])[..., 0]
+        return P_b, R_b
+
+    def _insert_kf_raw(self, P_pose, R_pose, feats, uv, t_kf, cam_frame=False):
+        """Write a keyframe into the next free slot. Returns slot index."""
+        if cam_frame:
+            P_pose, R_pose = self._cam_to_body(P_pose, R_pose)
+        slot = self.n_kf
+        assert slot < self.cfg.max_kf, "keyframe capacity exceeded"
+        m = self.m
+        ns = m.kf_ns
+        if self.cfg.use_imu and self.imu_since_kf:
+            raw = np.concatenate(self.imu_since_kf, 0)[-self.cfg.max_imu_per_kf:]
+            self.kf_imu_raw[slot] = raw
+            bg = np.asarray(self.last_ns.bg_full) if self.vi_inited else np.zeros(3)
+            ba_ = np.asarray(self.last_ns.ba_full) if self.vi_inited else np.zeros(3)
+            rawp = np.zeros((self.cfg.max_imu_per_kf, 7), np.float32)
+            rawp[:len(raw)] = raw
+            pre = preintegrate(jnp.asarray(rawp), jnp.asarray(bg, jnp.float32),
+                               jnp.asarray(ba_, jnp.float32), self.noise)
+            m = m._replace(kf_preint=jax.tree_util.tree_map(
+                lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
+            self.imu_since_kf = []
+        ns = ns._replace(
+            P=ns.P.at[slot].set(P_pose), R=ns.R.at[slot].set(R_pose),
+            V=ns.V.at[slot].set(self.last_ns.V),
+            bg=ns.bg.at[slot].set(self.last_ns.bg),
+            ba=ns.ba.at[slot].set(self.last_ns.ba),
+            dbg=ns.dbg.at[slot].set(0.0), dba=ns.dba.at[slot].set(0.0))
+        self.m = m._replace(
+            kf_ns=ns,
+            kf_time=m.kf_time.at[slot].set(t_kf),
+            kf_id=m.kf_id.at[slot].set(self.frame_id),
+            kf_active=m.kf_active.at[slot].set(True),
+            kf_uv=m.kf_uv.at[slot].set(uv),
+            kf_level=m.kf_level.at[slot].set(feats.level),
+            kf_desc=m.kf_desc.at[slot].set(feats.desc),
+            kf_pm1=m.kf_pm1.at[slot].set(feats.desc_pm1),
+            kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
+        )
+        self.n_kf += 1
+        self.kf_slots.append(slot)
+        self.last_kf_slot = slot
+        self.last_kf_frame = self.frame_id
+        if self.first_kf_time is None:
+            self.first_kf_time = t_kf
+        return slot
+
+    # ------------------------------------------------------------------
+    # Per-frame tracking
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats, uv, t):
+        cfg = self.cfg
+        P_last, R_last = self.last_pose
+        dP, dR = self.velocity
+        P0 = P_last + (R_last @ dP[..., None])[..., 0]
+        R0 = R_last @ dR
+        res = tracking.track_frame_visual(self.m, feats, uv, self.cam, self.ext,
+                                          P0, R0)
+        n_in = int(res.n_inliers)
+        if n_in < cfg.min_track_inliers:
+            # fallback: retry from last pose with a wide window
+            res = tracking.track_frame_visual(self.m, feats, uv, self.cam,
+                                              self.ext, P_last, R_last,
+                                              radius_coarse=40.0)
+            n_in = int(res.n_inliers)
+            if n_in < cfg.min_track_inliers:
+                self.state = LOST
+                return False
+        # velocity model update (src/Tracking.cpp:1123-1134)
+        RlT = jnp.swapaxes(R_last, -1, -2)
+        self.velocity = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
+        self.last_pose = (res.P, res.R)
+        self._cur_feat_mp = res.feat_mp
+        self._cur_inliers = n_in
+        # found/visible counters
+        vis_mask = jnp.zeros(self.m.P, bool).at[
+            jnp.clip(res.feat_mp, 0, self.m.P - 1)].set(res.feat_mp >= 0, mode="drop")
+        self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        self.state = OK
+        return True
+
+    def _need_new_kf(self):
+        cfg = self.cfg
+        since = self.frame_id - self.last_kf_frame
+        if since < cfg.kf_min_gap:
+            return False
+        if since >= cfg.kf_max_gap:
+            return True
+        # ratio of current inliers vs reference-KF tracked points
+        ref_tracked = int(jnp.sum((self.m.kf_mp[self.last_kf_slot] >= 0)))
+        return self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
+
+    def _create_keyframe(self, feats, uv, t):
+        P, R = self.last_pose
+        slot = self._insert_kf_raw(P, R, feats, uv, t_kf=t)
+        # carry tracked associations into the KF
+        self.m = self.m._replace(
+            kf_mp=self.m.kf_mp.at[slot].set(self._cur_feat_mp))
+        return slot
+
+    # ------------------------------------------------------------------
+    # Local mapping (synchronous, per new KF)
+    # ------------------------------------------------------------------
+    def _covisible(self, slot, n):
+        w = np.array(covisibility_weights(self.m, slot))
+        w[slot] = 0
+        w = w * np.asarray(self.m.kf_active)
+        order = np.argsort(-w)
+        return [int(k) for k in order[:n] if w[k] >= 5]
+
+    def _local_mapping(self):
+        cfg = self.cfg
+        slot = self.last_kf_slot
+        self.m, _ = mapping.cull_map_points(self.m, jnp.asarray(self.frame_id))
+        # triangulate with top covisible neighbors
+        for nb in self._covisible(slot, 4):
+            self.m, n_new = mapping.create_points_with_neighbor(
+                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext)
+        # fuse with first-order neighbors
+        for nb in self._covisible(slot, 4):
+            self.m, _ = mapping.fuse_into_keyframe(self.m, jnp.asarray(slot),
+                                                   jnp.asarray(nb), self.cam, self.ext)
+            self.m, _ = mapping.fuse_into_keyframe(self.m, jnp.asarray(nb),
+                                                   jnp.asarray(slot), self.cam, self.ext)
+        self._local_ba()
+        self._cull_keyframes()
+        # keep last_pose synced to the (BA-updated) newest KF
+        self.last_pose = self._kf_body_pose(slot)
+
+    def _ba_window_slots(self):
+        """Window for local BA: covisible KFs (visual) or the KF chain (VI)."""
+        cfg = self.cfg
+        slot = self.last_kf_slot
+        if self.vi_inited:
+            act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+            return act[-cfg.local_window:]
+        window = [slot] + self._covisible(slot, cfg.ba_window - 1)
+        return window
+
+    def _gather_obs(self, window, fixed):
+        """Build a VisualObs batch from the observation tables of `window+fixed`
+        keyframes (local index space)."""
+        all_slots = window + fixed
+        ks = jnp.asarray(all_slots, jnp.int32)
+        Fn = self.m.F
+        n = len(all_slots)
+        cam_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), Fn)
+        mp = self.m.kf_mp[ks].reshape(-1)
+        uv = self.m.kf_uv[ks].reshape(-1, 2)
+        lvl = self.m.kf_level[ks].reshape(-1)
+        fv = self.m.kf_feat_valid[ks].reshape(-1)
+        valid = (mp >= 0) & fv
+        obs = VisualObs(
+            cam=cam_idx, pt=jnp.clip(mp, 0, self.m.P - 1), uv=uv,
+            inv_sigma2=1.0 / (1.2 ** (2.0 * lvl.astype(jnp.float32))),
+            valid=valid.astype(jnp.float32))
+        return obs
+
+    def _local_ba(self, force_all=False):
+        cfg = self.cfg
+        if force_all:
+            window = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+            fixed = []
+            pad_to = None                  # rare call; compile per size is fine
+        else:
+            window = self._ba_window_slots()
+            # fixed observers: covisible KFs not in the window
+            fixed = [s for s in self._covisible(self.last_kf_slot, cfg.ba_window + 6)
+                     if s not in window][:4]
+            pad_to = max(cfg.ba_window, cfg.local_window) + 4  # ONE jit shape
+        if len(window) < 2:
+            return
+        all_slots = window + fixed
+        n_real = len(all_slots)
+        if pad_to is not None and n_real < pad_to:
+            all_slots = all_slots + [all_slots[-1]] * (pad_to - n_real)
+        obs = self._gather_obs(window, fixed + all_slots[n_real:])
+        # padded duplicate slots contribute no constraints
+        if len(all_slots) > n_real:
+            ov = np.array(obs.valid).reshape(len(all_slots), -1)
+            ov[n_real:] = 0.0
+            obs = obs._replace(valid=jnp.asarray(ov.reshape(-1)))
+        free = np.zeros(len(all_slots), np.float32)
+        free[:len(window)] = 1.0
+        # gauge: when no out-of-window observers anchor the problem, fix the
+        # oldest window KF (reference fixes KF0 / the second-ring, and monocular
+        # scale gauge is additionally damped by LM)
+        if not fixed:
+            free[0] = 0.0
+        ks = jnp.asarray(all_slots, jnp.int32)
+        if self.vi_inited:
+            ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
+            edges = self._imu_edges(all_slots, len(window))
+            ns2, pts2, chi2, cost = ba_vi.vi_ba(
+                ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
+                jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=8)
+            self.m = self.m._replace(
+                kf_ns=jax.tree_util.tree_map(
+                    lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
+                mp_pos=pts2)
+        else:
+            P0 = self.m.kf_ns.P[ks]
+            R0 = self.m.kf_ns.R[ks]
+            P2, R2, pts2, chi2, cost = ba.visual_ba(
+                P0, R0, self.m.mp_pos, obs, self.cam, self.ext,
+                jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=10)
+            ns = self.m.kf_ns
+            self.m = self.m._replace(
+                kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
+                mp_pos=pts2)
+        # remove outlier associations (chi2 gate)
+        self._prune_obs(all_slots, obs, chi2)
+
+    def _prune_obs(self, slots, obs, chi2):
+        bad = (chi2 > ba.CHI2_MONO * 1.5) & (obs.valid > 0)
+        Fn = self.m.F
+        bad = np.asarray(bad).reshape(len(slots), Fn)
+        kf_mp = np.array(self.m.kf_mp)
+        for i, s in enumerate(slots):
+            kf_mp[s][bad[i]] = -1
+        self.m = self.m._replace(kf_mp=jnp.asarray(kf_mp))
+
+    def _imu_edges(self, all_slots, n_window):
+        """PRV edges along consecutive window KFs (local index space)."""
+        idx_i, idx_j, pres = [], [], []
+        for a, b in zip(range(n_window - 1), range(1, n_window)):
+            idx_i.append(a)
+            idx_j.append(b)
+            pres.append(jax.tree_util.tree_map(
+                lambda x: x[all_slots[b]], self.m.kf_preint))
+        pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        info_prv = factors.imu_prv_info(pre)
+        info_bias = factors.bias_rw_info(pre.dT, float(self.noise.sigma_bg),
+                                         float(self.noise.sigma_ba))
+        return ba_vi.IMUEdges(
+            i=jnp.asarray(idx_i, jnp.int32), j=jnp.asarray(idx_j, jnp.int32),
+            pre=pre, info_prv=info_prv, info_bias=info_bias,
+            valid=jnp.ones(len(idx_i), jnp.float32))
+
+    def _cull_keyframes(self):
+        """90% redundancy rule with VI time-gap guards (src/LocalMapping.cpp:1777)."""
+        active = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        for i, s in enumerate(active[1:-1], start=1):
+            if self.cfg.use_imu:
+                t_prev = float(self.m.kf_time[active[i - 1]])
+                t_next = float(self.m.kf_time[active[i + 1]])
+                if t_next - t_prev > 0.5:
+                    continue
+            ratio, n_pts = mapping.kf_redundancy(self.m, jnp.asarray(s))
+            if float(ratio) > 0.9 and int(n_pts) > 20:
+                self._splice_imu_chain(s)
+                self.m = mapping.deactivate_keyframe(self.m, jnp.asarray(s))
+                self.kf_slots.remove(s)
+
+    def _splice_imu_chain(self, slot):
+        """On KF removal, merge its raw IMU into the next KF and re-preintegrate
+        (KeyFrame::SetBadFlag splicing, src/KeyFrame.cpp:1028-1030)."""
+        if not self.cfg.use_imu:
+            return
+        act = self.kf_slots
+        i = act.index(slot)
+        if i + 1 >= len(act):
+            return
+        nxt = act[i + 1]
+        merged = np.concatenate(
+            [self.kf_imu_raw.get(slot, np.zeros((0, 7), np.float32)),
+             self.kf_imu_raw.get(nxt, np.zeros((0, 7), np.float32))], 0)
+        merged = merged[-self.cfg.max_imu_per_kf:]
+        self.kf_imu_raw[nxt] = merged
+        rawp = np.zeros((self.cfg.max_imu_per_kf, 7), np.float32)
+        rawp[:len(merged)] = merged
+        bg = self.m.kf_ns.bg[nxt] + self.m.kf_ns.dbg[nxt]
+        ba_ = self.m.kf_ns.ba[nxt] + self.m.kf_ns.dba[nxt]
+        pre = preintegrate(jnp.asarray(rawp), bg, ba_, self.noise)
+        self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
+            lambda a, b: a.at[nxt].set(b), self.m.kf_preint, pre))
+
+    # ------------------------------------------------------------------
+    # VI initialization (LocalMapping::TryInitVIO, src/LocalMapping.cpp:200-893)
+    # ------------------------------------------------------------------
+    def _maybe_vi_init(self, t):
+        cfg = self.cfg
+        if self.first_kf_time is None or t - self.first_kf_time < cfg.vi_init_time:
+            return
+        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        if len(act) < 8:
+            return
+        ks = jnp.asarray(act, jnp.int32)
+        # camera poses from body poses (body==camera pre-init)
+        Rwb = self.m.kf_ns.R[ks]
+        Pwb = self.m.kf_ns.P[ks]
+        Rbc = jnp.swapaxes(self.ext.Rcb, -1, -2)
+        pbc = -(Rbc @ self.ext.tcb[..., None])[..., 0]
+        Rwc = Rwb @ Rbc
+        Pwc = Pwb + (Rwb @ pbc[..., None])[..., 0]
+        pre = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
+        valid = jnp.asarray([0.0] + [1.0] * (len(act) - 1), jnp.float32)
+        res = viinit.try_init_vio(Pwc, Rwc, pre, valid, self.ext.Rcb,
+                                  self.ext.tcb, g_mag=cfg.g_mag)
+        s = float(res.scale)
+        if not np.isfinite(s) or s <= 1e-3:
+            return
+        # re-preintegrate all KFs with the estimated gyro bias
+        bg = np.asarray(res.bg)
+        ba_np = np.asarray(res.ba)
+        for slot in act:
+            raw = self.kf_imu_raw.get(slot)
+            if raw is None:
+                continue
+            rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
+            rawp[:len(raw)] = raw
+            pre1 = preintegrate(jnp.asarray(rawp), jnp.asarray(bg, jnp.float32),
+                                jnp.asarray(ba_np, jnp.float32), self.noise)
+            self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
+                lambda a, b: a.at[slot].set(b), self.m.kf_preint, pre1))
+        pre2 = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
+        V = viinit.compute_velocities(Pwc, Rwc, pre2, valid, self.ext.Rcb,
+                                      self.ext.tcb, jnp.asarray(s), res.gw,
+                                      jnp.asarray(ba_np))
+        P_b, R_b, V = viinit.apply_init_to_navstates(
+            Pwc, Rwc, self.ext.Rcb, self.ext.tcb, jnp.asarray(s),
+            res.bg, res.ba, V)
+        ns = self.m.kf_ns
+        z3 = jnp.zeros_like(V)
+        ns = ns._replace(
+            P=ns.P.at[ks].set(P_b), R=ns.R.at[ks].set(R_b), V=ns.V.at[ks].set(V),
+            bg=ns.bg.at[ks].set(jnp.asarray(bg)), ba=ns.ba.at[ks].set(jnp.asarray(ba_np)),
+            dbg=ns.dbg.at[ks].set(z3), dba=ns.dba.at[ks].set(z3))
+        # scale map points
+        self.m = self.m._replace(
+            kf_ns=ns, mp_pos=self.m.mp_pos * s,
+            mp_min_dist=self.m.mp_min_dist * s, mp_max_dist=self.m.mp_max_dist * s)
+        self.gw = res.gw
+        self.vi_inited = True
+        self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], ns)
+        self.last_pose = (self.last_ns.P, self.last_ns.R)
+        # full VI global BA (GlobalBundleAdjustmentNavStatePRV)
+        self._local_ba(force_all=True)
+
+    # ------------------------------------------------------------------
+    def get_trajectory(self):
+        """[(t, P_wb (3,), R_wb (3,3))] per tracked frame."""
+        return self.trajectory

@@ -1,0 +1,141 @@
+"""Tracking-stage device kernels (jitted, fixed-shape).
+
+Replaces the per-frame logic of Tracking (src/Tracking.cpp): map-point projection
+search + pose optimization (TrackWithMotionModel :1735 / TrackLocalMap :1813 and
+the IMU variants :224-412), fused into two search→optimize rounds against the
+whole active map (the reference's "local map" subset is a CPU-cache trick; on
+TPU projecting every active point is one batched op).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import Camera
+from mc_slam_tpu.frontend import matching
+from mc_slam_tpu.frontend.extractor import Features
+from mc_slam_tpu.slam_map.mapstate import MapState
+from mc_slam_tpu.solver import ba, ba_vi, factors
+from mc_slam_tpu.solver.ba import VisualObs
+
+
+class TrackResult(NamedTuple):
+    P: jnp.ndarray           # (3,) optimized body position
+    R: jnp.ndarray           # (3,3)
+    feat_mp: jnp.ndarray     # (F,) int32 map-point index per feature (-1 none)
+    n_matches: jnp.ndarray   # () int32 matches fed to the optimizer
+    n_inliers: jnp.ndarray   # () int32 chi2-inliers after optimization
+
+
+def project_map_points(m: MapState, cam: Camera, ext: factors.Extrinsics, P, R):
+    """Project all active map points into the frame at body pose (P, R).
+    Returns (uv (Pn,2), z (Pn,), visible (Pn,) bool) — isInFrustum
+    (src/Frame.cpp:492) without the view-angle test (folded into matching)."""
+    RwbT = jnp.swapaxes(R, -1, -2)
+    Pb = (RwbT @ (m.mp_pos - P)[..., None])[..., 0]
+    Pc = (ext.Rcb @ Pb[..., None])[..., 0] + ext.tcb
+    z = Pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * Pc[..., 0] / z_safe + cam.cx
+    v = cam.fy * Pc[..., 1] / z_safe + cam.cy
+    vis = (z > 0.1) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height) \
+        & m.mp_active
+    # scale-invariance distance gate (MapPoint::PredictScale region)
+    dist = jnp.linalg.norm(Pb, axis=-1)
+    vis = vis & (dist >= 0.5 * m.mp_min_dist) & (dist <= 1.5 * jnp.maximum(m.mp_max_dist, 1e-6))
+    return jnp.stack([u, v], -1), z, vis
+
+
+def predict_level(m: MapState, P, dist_scale=1.2, n_levels=8):
+    """Predicted pyramid level from distance (MapPoint::PredictScale)."""
+    d = jnp.linalg.norm(m.mp_pos - P, axis=-1)
+    ratio = jnp.maximum(m.mp_max_dist, 1e-6) / jnp.maximum(d, 1e-6)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6)) / jnp.log(dist_scale))
+    return jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
+                       ext: factors.Extrinsics, P0, R0, radius_coarse=15.0,
+                       radius_fine=4.0, iters: int = 20, inv_sigma2=None):
+    """Two-round project→match→optimize against the active map.
+
+    uv_ideal: (F,2) undistorted feature pixels. Returns TrackResult.
+    """
+    Fn = feats.valid.shape[0]
+    if inv_sigma2 is None:
+        inv_sigma2 = 1.0 / (1.2 ** (2.0 * feats.level.astype(jnp.float32)))
+
+    def one_round(P, R, radius, lam_iters):
+        proj_uv, z, vis = project_map_points(m, cam, ext, P, R)
+        lvl = predict_level(m, P)
+        mp_idx, dist, ok = matching.search_by_projection(
+            proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
+            feats.valid, radius_px=radius)
+        # per-feature association: invert (map-point -> feature) to (feature -> mp)
+        feat_mp = jnp.full((Fn,), -1, jnp.int32)
+        src = jnp.arange(m.P, dtype=jnp.int32)
+        # scatter only accepted matches (not-ok entries target an out-of-range
+        # slot and are dropped); duplicates are already resolved per feature
+        feat_mp = feat_mp.at[jnp.where(ok, mp_idx, Fn)].set(src, mode="drop")
+        matched = feat_mp >= 0
+        obs = VisualObs(
+            cam=jnp.zeros(Fn, jnp.int32),
+            pt=jnp.clip(feat_mp, 0, m.P - 1),
+            uv=uv_ideal,
+            inv_sigma2=inv_sigma2,
+            valid=matched.astype(jnp.float32))
+        Pn, Rn, chi2, n_in = ba.pose_only_visual(P, R, m.mp_pos, obs, cam, ext,
+                                                 iters=lam_iters)
+        inlier = matched & (chi2 <= ba.CHI2_MONO)
+        return Pn, Rn, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in
+
+    P1, R1, fmp1, nm1, ni1 = one_round(P0, R0, radius_coarse, iters)
+    P2, R2, fmp2, nm2, ni2 = one_round(P1, R1, radius_fine, iters)
+    return TrackResult(P=P2, R=R2, feat_mp=fmp2, n_matches=nm2, n_inliers=ni2)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
+                   ext: factors.Extrinsics, ns_cur0, ns_last, pre_last_cur,
+                   gw, prior_last: ba_vi.PriorFactor, radius_coarse=15.0,
+                   radius_fine=4.0, iters: int = 20):
+    """VI tracking: IMU-predicted pose, projection search, joint (last,cur)
+    optimization with IMU + prior factors, marginal extraction
+    (TrackWithIMU + TrackLocalMapWithIMU, src/Tracking.cpp:224-412)."""
+    Fn = feats.valid.shape[0]
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * feats.level.astype(jnp.float32)))
+    info_prv = factors.imu_prv_info(pre_last_cur)
+    info_bias = factors.bias_rw_info(pre_last_cur.dT, 2e-5, 5e-3)
+
+    def search(P, R, radius):
+        proj_uv, z, vis = project_map_points(m, cam, ext, P, R)
+        lvl = predict_level(m, P)
+        mp_idx, dist, ok = matching.search_by_projection(
+            proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
+            feats.valid, radius_px=radius)
+        feat_mp = jnp.full((Fn,), -1, jnp.int32)
+        src = jnp.arange(m.P, dtype=jnp.int32)
+        # scatter only accepted matches (not-ok entries target an out-of-range
+        # slot and are dropped); duplicates are already resolved per feature
+        feat_mp = feat_mp.at[jnp.where(ok, mp_idx, Fn)].set(src, mode="drop")
+        matched = feat_mp >= 0
+        return VisualObs(cam=jnp.zeros(Fn, jnp.int32),
+                         pt=jnp.clip(feat_mp, 0, m.P - 1), uv=uv_ideal,
+                         inv_sigma2=inv_sigma2,
+                         valid=matched.astype(jnp.float32)), feat_mp, matched
+
+    obs1, _, _ = search(ns_cur0.P, ns_cur0.R, radius_coarse)
+    ns1, chi2_1, nin1, _ = ba_vi.pose_only_vi(
+        ns_cur0, ns_last, pre_last_cur, m.mp_pos, obs1, cam, ext, gw,
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=False)
+    obs2, feat_mp, matched = search(ns1.P, ns1.R, radius_fine)
+    ns2, chi2, n_in, H_marg = ba_vi.pose_only_vi(
+        ns1, ns_last, pre_last_cur, m.mp_pos, obs2, cam, ext, gw,
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=True)
+    inlier = matched & (chi2 <= ba.CHI2_MONO)
+    return ns2, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in, H_marg

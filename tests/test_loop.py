@@ -1,0 +1,118 @@
+"""BoW place recognition + Sim3 pose-graph tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.frontend import bow, orb
+from mc_slam_tpu.solver import posegraph
+
+
+def rand_desc(rng, n):
+    words = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    return orb.unpack_pm1(jnp.asarray(words))
+
+
+class TestBow:
+    def test_same_scene_scores_higher(self, rng):
+        vocab = bow.random_vocab(jax.random.PRNGKey(0))
+        base = rand_desc(rng, 300)
+        valid = jnp.ones(300)
+        # view B: same scene, 30% features replaced; view C: different scene
+        other = rand_desc(rng, 300)
+        mask = jnp.asarray(rng.random(300) < 0.3)
+        vb = jnp.where(mask[:, None], other, base)
+        vc = rand_desc(rng, 300)
+        ha = bow.bow_histogram(base, valid, vocab)
+        hb = bow.bow_histogram(vb, valid, vocab)
+        hc = bow.bow_histogram(vc, valid, vocab)
+        assert float(ha @ hb) > float(ha @ hc) + 0.2
+
+    def test_train_vocab_improves_separation(self, rng):
+        descs = rand_desc(rng, 1024)
+        valid = jnp.ones(1024)
+        vocab = bow.train_vocab(descs, valid, jax.random.PRNGKey(1), n_words=128,
+                                iters=3)
+        assert vocab.shape == (128, 256)
+        h = bow.bow_histogram(descs, valid, vocab)
+        # trained vocab spreads mass across many words
+        assert float((h > 0).sum()) > 32
+
+    def test_score_all_masks(self, rng):
+        vocab = bow.random_vocab(jax.random.PRNGKey(0), 256)
+        d = rand_desc(rng, 100)
+        h = bow.bow_histogram(d, jnp.ones(100), vocab)
+        hists = jnp.stack([h, h * 0.5, h])
+        scores = bow.score_all(h, hists, jnp.asarray([True, True, False]))
+        assert float(scores[2]) == -1.0
+        assert float(scores[0]) >= float(scores[1])
+
+
+class TestPoseGraph:
+    def _chain_with_drift(self, rng, K=12, drift=0.02):
+        """Ground-truth loop: KFs on a circle; odometry edges with accumulated
+        drift; a loop edge closing K-1 -> 0."""
+        angles = np.linspace(0, 2 * np.pi * (K - 1) / K, K)
+        P_gt = np.stack([np.cos(angles), np.sin(angles), np.zeros(K)], 1).astype(np.float32)
+        R_gt = np.stack([np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a], jnp.float32)))
+                         for a in angles])
+        # vertices: Scw = (R^T, -R^T P), s=1
+        Rcw = np.swapaxes(R_gt, 1, 2)
+        tcw = -np.einsum('kij,kj->ki', Rcw, P_gt)
+        return P_gt, R_gt, Rcw.astype(np.float32), tcw.astype(np.float32)
+
+    def test_loop_closure_removes_drift(self, rng):
+        K = 12
+        P_gt, R_gt, Rcw, tcw = self._chain_with_drift(rng)
+        dtype = jnp.float32
+        s_gt = jnp.ones(K, dtype)
+        R_v = jnp.asarray(Rcw)
+        t_v = jnp.asarray(tcw)
+        # true sequential measurements
+        ei = jnp.arange(0, K - 1, dtype=jnp.int32)
+        ej = jnp.arange(1, K, dtype=jnp.int32)
+        sm, Rm, tm = posegraph.edge_measurement(
+            s_gt[ei], R_v[ei], t_v[ei], s_gt[ej], R_v[ej], t_v[ej])
+        # corrupt the vertex estimates with accumulated drift (scale + yaw + pos)
+        drift_R = np.stack([np.asarray(lie.so3_exp(jnp.asarray(
+            [0.0, 0.0, 0.02 * k], jnp.float32))) for k in range(K)])
+        s0 = jnp.asarray(1.0 + 0.01 * np.arange(K), dtype)
+        R0 = jnp.asarray(np.einsum('kij,kjl->kil', Rcw, drift_R))
+        t0 = t_v + jnp.asarray(0.03 * rng.normal(size=(K, 3)).astype(np.float32))
+        t0 = t0.at[0].set(t_v[0])  # vertex 0 is the fixed gauge: keep it at truth
+        # loop edge K-1 -> 0 with the TRUE relative measurement
+        sl, Rl, tl = posegraph.edge_measurement(
+            s_gt[K - 1:K], R_v[K - 1:], t_v[K - 1:], s_gt[:1], R_v[:1], t_v[:1])
+        g = posegraph.Sim3Graph(
+            s=s0, R=R0, t=t0,
+            ei=jnp.concatenate([ei, jnp.asarray([K - 1], jnp.int32)]),
+            ej=jnp.concatenate([ej, jnp.asarray([0], jnp.int32)]),
+            s_m=jnp.concatenate([sm, sl]), R_m=jnp.concatenate([Rm, Rl]),
+            t_m=jnp.concatenate([tm, tl]),
+            w=jnp.ones(K, dtype), free=jnp.ones(K, dtype).at[0].set(0.0))
+        R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(g, iters=30)
+        assert float(cost) < 1e-6, float(cost)
+        # scale drift removed
+        np.testing.assert_allclose(np.asarray(s_new), 1.0, atol=2e-3)
+        # positions recovered (vertex 0 was fixed with its ORIGINAL estimate —
+        # but vertex 0 was also corrupted only in ei>0 terms; allow alignment)
+        P_est = -np.einsum('kji,kj->ki', np.asarray(R_new), np.asarray(t_new)) \
+            / np.asarray(s_new)[:, None]
+        err = np.linalg.norm(P_est - P_gt, axis=1)
+        assert err.max() < 0.05, err
+
+    def test_correct_map_points(self, rng):
+        K = 4
+        s_old = jnp.ones(K)
+        R_old = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+        t_old = jnp.zeros((K, 3))
+        # new: shift everything by +1 in x (Scw t = -1 -> world shifts +1)
+        s_new = jnp.ones(K)
+        R_new = R_old
+        t_new = jnp.zeros((K, 3)).at[:, 0].set(-1.0)
+        pts = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+        ref = jnp.zeros(10, jnp.int32)
+        out = posegraph.correct_map_points(pts, ref, s_old, R_old, t_old,
+                                           s_new, R_new, t_new)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pts) + [1, 0, 0],
+                                   atol=1e-6)
