@@ -163,9 +163,14 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     ns = ns._replace(P=ns.P.at[ks].set(Pwk2), R=ns.R.at[ks].set(Rwk2),
                      V=ns.V.at[ks].set(V2))
 
-    # correct map points with their reference keyframes
-    ref_local = jnp.asarray(
-        [idx_of.get(int(r), 0) for r in np.array(m.mp_ref_kf)], jnp.int32)
+    # correct map points with their reference keyframes; points whose reference
+    # KF was culled use the nearest surviving KF in creation order
+    slot_arr = np.asarray(slots)
+    ref = np.array(m.mp_ref_kf)
+    pos = np.clip(np.searchsorted(slot_arr, ref), 0, len(slot_arr) - 1)
+    left = np.clip(pos - 1, 0, len(slot_arr) - 1)
+    use_left = np.abs(slot_arr[left] - ref) <= np.abs(slot_arr[pos] - ref)
+    ref_local = jnp.asarray(np.where(use_left, left, pos), jnp.int32)
     mp2 = posegraph.correct_map_points(m.mp_pos, ref_local, s0, R0, t0,
                                        s_new, R_new, t_new)
     mp2 = jnp.where(m.mp_active[:, None], mp2, m.mp_pos)

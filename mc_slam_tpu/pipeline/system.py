@@ -26,7 +26,9 @@ from mc_slam_tpu.geometry import init2view
 from mc_slam_tpu.imu.navstate import NavState, navstate_identity
 from mc_slam_tpu.imu.preintegration import (IMUNoise, euroc_noise, preint_identity,
                                             preintegrate, predict_navstate)
-from mc_slam_tpu.pipeline import mapping, tracking, viinit
+from mc_slam_tpu.frontend import bow
+from mc_slam_tpu.geometry import pnp
+from mc_slam_tpu.pipeline import loopclosing, mapping, tracking, viinit
 from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, empty_map
 from mc_slam_tpu.solver import ba, ba_vi, factors
 from mc_slam_tpu.solver.ba import VisualObs
@@ -96,6 +98,13 @@ class SlamSystem:
 
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
 
+        # place recognition (loop closing + relocalization)
+        self.loop = loopclosing.LoopDetector(
+            bow.random_vocab(jax.random.PRNGKey(self.cfg.seed + 1)),
+            self.cfg.max_kf)
+        self.n_loops_closed = 0
+        self.enable_loop_closing = True
+
     # ------------------------------------------------------------------
     def _undistort(self, feats: Features):
         return undistort_points(self.cam, feats.xy)
@@ -106,7 +115,7 @@ class SlamSystem:
         cfg = self.cfg
         if imu is not None and len(imu):
             self.imu_since_kf.append(np.asarray(imu, np.float32))
-            self.imu_since_frame = [np.asarray(imu, np.float32)]
+            self.imu_since_frame.append(np.asarray(imu, np.float32))
         feats = extractor.extract(jnp.asarray(img, jnp.float32),
                                   n_features=cfg.n_feat, n_levels=cfg.n_levels)
         uv = self._undistort(feats)
@@ -118,9 +127,12 @@ class SlamSystem:
             ok = self._try_initialize(feats, uv, t)
         else:
             ok = self._track_frame(feats, uv, t)
+            if not ok and self.state == LOST:
+                ok = self._relocalize(feats, uv, t)
             if ok and self._need_new_kf():
-                self._create_keyframe(feats, uv, t)
+                slot = self._create_keyframe(feats, uv, t)
                 self._local_mapping()
+                self._try_close_loop(slot)
             if ok and not self.vi_inited and cfg.use_imu:
                 self._maybe_vi_init(t)
         self.last_feats = feats
@@ -240,11 +252,13 @@ class SlamSystem:
             m = m._replace(kf_preint=jax.tree_util.tree_map(
                 lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
             self.imu_since_kf = []
+        # fold delta-bias into the base bias at KF creation
+        # (Frame::SetInitialNavStateAndBias, src/Frame.cpp:111-118)
         ns = ns._replace(
             P=ns.P.at[slot].set(P_pose), R=ns.R.at[slot].set(R_pose),
             V=ns.V.at[slot].set(self.last_ns.V),
-            bg=ns.bg.at[slot].set(self.last_ns.bg),
-            ba=ns.ba.at[slot].set(self.last_ns.ba),
+            bg=ns.bg.at[slot].set(self.last_ns.bg_full),
+            ba=ns.ba.at[slot].set(self.last_ns.ba_full),
             dbg=ns.dbg.at[slot].set(0.0), dba=ns.dba.at[slot].set(0.0))
         self.m = m._replace(
             kf_ns=ns,
@@ -263,12 +277,18 @@ class SlamSystem:
         self.last_kf_frame = self.frame_id
         if self.first_kf_time is None:
             self.first_kf_time = t_kf
+        self.loop.add_keyframe(slot, feats.desc_pm1,
+                               feats.valid.astype(jnp.float32))
         return slot
 
     # ------------------------------------------------------------------
     # Per-frame tracking
     # ------------------------------------------------------------------
     def _track_frame(self, feats, uv, t):
+        if self.vi_inited:
+            return self._track_frame_vi(feats, uv, t)
+        # pre-VI-init, per-frame IMU windows are unused (re-seeded at init time)
+        self.imu_since_frame = []
         cfg = self.cfg
         P_last, R_last = self.last_pose
         dP, dR = self.velocity
@@ -295,6 +315,49 @@ class SlamSystem:
         # found/visible counters
         vis_mask = jnp.zeros(self.m.P, bool).at[
             jnp.clip(res.feat_mp, 0, self.m.P - 1)].set(res.feat_mp >= 0, mode="drop")
+        self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        self.state = OK
+        return True
+
+    def _track_frame_vi(self, feats, uv, t):
+        """IMU-predicted tracking with the marginal prior
+        (Tracking::TrackWithIMU + TrackLocalMapWithIMU)."""
+        cfg = self.cfg
+        rows = (np.concatenate(self.imu_since_frame, 0)
+                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        rows = rows[-cfg.max_imu_per_kf:]
+        rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
+        rawp[:len(rows)] = rows
+        pre = preintegrate(jnp.asarray(rawp), self.last_ns.bg_full,
+                           self.last_ns.ba_full, self.noise)
+        ns_pred = predict_navstate(self.last_ns, pre, self.gw)
+        if self.prior is None:
+            self.prior = ba_vi.PriorFactor(
+                cam=jnp.asarray(0, jnp.int32), ns0=self.last_ns,
+                info=jnp.eye(15, dtype=jnp.float32) * 1e3,
+                valid=jnp.asarray(1.0, jnp.float32))
+        ns2, feat_mp, n_m, n_in, H_marg = tracking.track_frame_vi(
+            self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
+            pre, self.gw, self.prior)
+        n_in = int(n_in)
+        # accept threshold: >= 6 inliers with IMU support (src/Tracking.cpp:281-288)
+        if n_in < max(6, cfg.min_track_inliers // 2):
+            self.state = LOST
+            return False
+        self.last_ns = ns2
+        self.last_pose = (ns2.P, ns2.R)
+        # next frame's prior: this frame's marginal information (+ floor)
+        H_np = np.asarray(H_marg, np.float64)
+        H_np = 0.5 * (H_np + H_np.T) + 1e-3 * np.eye(15)
+        self.prior = ba_vi.PriorFactor(
+            cam=jnp.asarray(0, jnp.int32), ns0=ns2,
+            info=jnp.asarray(H_np, jnp.float32),
+            valid=jnp.asarray(1.0, jnp.float32))
+        self.imu_since_frame = []
+        self._cur_feat_mp = feat_mp
+        self._cur_inliers = n_in
+        vis_mask = jnp.zeros(self.m.P, bool).at[
+            jnp.clip(feat_mp, 0, self.m.P - 1)].set(feat_mp >= 0, mode="drop")
         self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
         self.state = OK
         return True
@@ -344,8 +407,13 @@ class SlamSystem:
                                                    jnp.asarray(slot), self.cam, self.ext)
         self._local_ba()
         self._cull_keyframes()
-        # keep last_pose synced to the (BA-updated) newest KF
+        # keep the tracking state synced to the (BA-updated) newest KF
         self.last_pose = self._kf_body_pose(slot)
+        if self.vi_inited:
+            self.last_ns = jax.tree_util.tree_map(
+                lambda a: a[slot], self.m.kf_ns)
+            self.prior = None          # marginal prior is stale after map update
+            self.imu_since_frame = []  # current frame == this keyframe
 
     def _ba_window_slots(self):
         """Window for local BA: covisible KFs (visual) or the KF chain (VI)."""
@@ -496,6 +564,96 @@ class SlamSystem:
             lambda a, b: a.at[nxt].set(b), self.m.kf_preint, pre))
 
     # ------------------------------------------------------------------
+    # Relocalization (Tracking::Relocalization, src/Tracking.cpp:2388):
+    # BoW candidates -> 2D-3D descriptor matching -> PnP RANSAC -> refine
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats, uv, t):
+        from mc_slam_tpu.frontend import matching as matching_mod
+        cfg = self.cfg
+        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        if not act:
+            return False
+        q = np.asarray(bow.bow_histogram(feats.desc_pm1,
+                                         feats.valid.astype(jnp.float32),
+                                         self.loop.vocab))
+        scores = self.loop.hists[act] @ q
+        focal = float(self.cam.fx)
+        xn = (np.asarray(uv) - [float(self.cam.cx), float(self.cam.cy)]) / \
+            [float(self.cam.fx), float(self.cam.fy)]
+        for oi in np.argsort(-scores)[:3]:
+            k = act[int(oi)]
+            mp_k = self.m.kf_mp[k]
+            has = (mp_k >= 0) & self.m.kf_feat_valid[k]
+            idx, best, okm = matching_mod.mutual_match(
+                feats.desc_pm1, feats.valid, self.m.kf_pm1[k], has,
+                max_dist=matching_mod.TH_LOW, ratio=0.85)
+            if int(jnp.sum(okm)) < 15:
+                continue
+            Xw = self.m.mp_pos[jnp.clip(mp_k[idx], 0, self.m.P - 1)]
+            self.key, sub = jax.random.split(self.key)
+            res = pnp.pnp_ransac(sub, Xw, jnp.asarray(xn, jnp.float32),
+                                 okm.astype(jnp.float32), focal,
+                                 min_inliers=12)
+            if not bool(res.ok):
+                continue
+            # camera pose -> body pose, then refine against the map
+            R_wc = res.R_cw.T
+            C = -(R_wc @ res.t_cw[..., None])[..., 0]
+            P_b, R_b = self._cam_to_body(C, R_wc)
+            tr = tracking.track_frame_visual(self.m, feats, uv, self.cam,
+                                             self.ext, P_b, R_b,
+                                             radius_coarse=15.0)
+            if int(tr.n_inliers) >= cfg.min_track_inliers:
+                self.last_pose = (tr.P, tr.R)
+                self.velocity = (jnp.zeros(3), jnp.eye(3))
+                self._cur_feat_mp = tr.feat_mp
+                self._cur_inliers = int(tr.n_inliers)
+                if self.vi_inited:
+                    # re-seat the NavState at the relocalized pose; biases kept
+                    # (full bias re-estimation window is the reference's
+                    # mbRelocBiasPrepare path — future refinement)
+                    self.last_ns = self.last_ns._replace(P=tr.P, R=tr.R)
+                    self.prior = None
+                self.state = OK
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # Loop closing (LoopClosing::Run, gated on VI init in IMU mode :75)
+    # ------------------------------------------------------------------
+    def _try_close_loop(self, slot):
+        if not self.enable_loop_closing:
+            return
+        if self.cfg.use_imu and not self.vi_inited:
+            return
+        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        if len(act) < 8:
+            return
+        # cooldown after a closure (reference: mnLastLoopKFid + 10,
+        # src/LoopClosing.cpp:137-141)
+        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 10:
+            return
+        cand = self.loop.detect(self.m, slot, act)
+        if cand < 0:
+            return
+        self.key, sub = jax.random.split(self.key)
+        res = loopclosing.compute_sim3_for_loop(self.m, sub, slot, cand, self.cam)
+        if not bool(res.ok):
+            return
+        self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
+                                        fix_scale=self.vi_inited)
+        self.n_loops_closed += 1
+        self._last_loop_nkf = self.n_kf
+        # full BA after the pose-graph correction (RunGlobalBundleAdjustment)
+        self._local_ba(force_all=True)
+        self.last_pose = self._kf_body_pose(slot)
+        if self.vi_inited:
+            self.last_ns = jax.tree_util.tree_map(
+                lambda a: a[slot], self.m.kf_ns)
+            self.prior = None
+        self.velocity = (jnp.zeros(3), jnp.eye(3))
+
+    # ------------------------------------------------------------------
     # VI initialization (LocalMapping::TryInitVIO, src/LocalMapping.cpp:200-893)
     # ------------------------------------------------------------------
     def _maybe_vi_init(self, t):
@@ -505,6 +663,14 @@ class SlamSystem:
         act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
         if len(act) < 8:
             return
+        # only attempt once per new keyframe (the reference polls, but each
+        # attempt re-runs the same data until the map grows)
+        if getattr(self, "_last_init_attempt_nkf", -1) == self.n_kf:
+            return
+        self._last_init_attempt_nkf = self.n_kf
+        # clean the visual map first (TryInitVIO runs a visual-only GBA at
+        # src/LocalMapping.cpp:240 before the linear solves)
+        self._local_ba(force_all=True)
         ks = jnp.asarray(act, jnp.int32)
         # camera poses from body poses (body==camera pre-init)
         Rwb = self.m.kf_ns.R[ks]
@@ -554,8 +720,13 @@ class SlamSystem:
         self.vi_inited = True
         self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], ns)
         self.last_pose = (self.last_ns.P, self.last_ns.R)
+        # the next VI-tracked frame integrates from the newest keyframe
+        self.imu_since_frame = list(self.imu_since_kf)
+        self.prior = None
         # full VI global BA (GlobalBundleAdjustmentNavStatePRV)
         self._local_ba(force_all=True)
+        self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], self.m.kf_ns)
+        self.last_pose = (self.last_ns.P, self.last_ns.R)
 
     # ------------------------------------------------------------------
     def get_trajectory(self):

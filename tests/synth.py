@@ -44,6 +44,15 @@ class Trajectory:
             R = _rot_from_rpy(0.12 * np.sin(0.7 * s * t),
                               0.10 * np.sin(0.9 * s * t + 1.0),
                               0.5 * s * t * 0.4)
+        elif self.kind == "gentle":
+            # faces +z (a wall scene) with MAV-like acceleration excitation AND
+            # strong roll about the optical axis: rotation is what separates
+            # gravity from accel bias in VI init (rank of eq. 19/20's C matrix)
+            P = np.array([1.1 * np.sin(1.2 * s * t),
+                          0.35 * np.sin(1.7 * s * t),
+                          0.18 * np.sin(1.1 * s * t)])
+            R = _rot_from_rpy(0.04 * np.sin(0.9 * t), 0.08 * np.sin(0.5 * t),
+                              0.5 * np.sin(0.9 * t))
         elif self.kind == "line":
             P = np.array([s * t, 0.02 * np.sin(3 * t), 0.0])
             R = _rot_from_rpy(0.05 * np.sin(2 * t), 0.04 * np.cos(1.5 * t), 0.02 * t)

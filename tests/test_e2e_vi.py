@@ -1,0 +1,72 @@
+"""End-to-end monocular VISUAL-INERTIAL SLAM on rendered frames + synthetic IMU
+(SURVEY.md section 7 step 6 gate): VI initialization must recover metric scale
+and gravity, then IMU-predicted tracking takes over."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_slam_tpu.camera import make_camera
+from mc_slam_tpu.eval.ate import ate_rmse
+from mc_slam_tpu.pipeline.system import SlamConfig, SlamSystem, OK
+
+import synth
+from render import DotWorld
+
+CAM = make_camera(300.0, 300.0, 240.0, 180.0, width=480, height=360)
+
+
+@pytest.mark.slow
+def test_vi_slam_initializes_and_tracks(rng):
+    world = DotWorld(rng)
+    traj = synth.Trajectory("gentle", speed=1.0)
+    bg_true = np.array([0.008, -0.012, 0.01], np.float32)
+    ba_true = np.array([0.04, -0.03, 0.05], np.float32)
+
+    cfg = SlamConfig(max_kf=96, max_mp=2048, n_feat=384, n_levels=3,
+                     min_init_matches=50, use_imu=True, vi_init_time=4.0,
+                     kf_min_gap=2, local_window=8, g_mag=synth.G)
+    sys = SlamSystem(CAM, cfg)
+
+    n_frames, fdt = 80, 0.1
+    gts = []
+    n_ok = 0
+    for i in range(n_frames):
+        t = i * fdt
+        P, R = traj.pose(t)
+        img = world.render(R, P)
+        imu = traj.imu_samples(max(0.0, t - fdt), t, bg=bg_true, ba=ba_true,
+                               noise_g=1.7e-4, noise_a=2e-3, rng=rng) if i > 0 else None
+        ok = sys.track(img, t, imu=imu)
+        n_ok += int(ok)
+        gts.append((t, P.astype(np.float32)))
+
+    assert sys.vi_inited, "VI initialization did not trigger"
+    assert sys.state == OK
+    assert n_ok > 0.8 * (n_frames - 2), f"tracked {n_ok}/{n_frames}"
+
+    # gyro bias recovered by init (check a keyframe from the init window —
+    # later keyframes fold in tracking-time delta-bias drift)
+    first_act = [s for s in sys.kf_slots if bool(sys.m.kf_active[s])][0]
+    bg_est = np.asarray(sys.m.kf_ns.bg[first_act])
+    np.testing.assert_allclose(bg_est, bg_true, atol=3e-3)
+    # gravity direction correct within ~3 degrees
+    gw = np.asarray(sys.gw)
+    cos = gw @ synth.GW / (np.linalg.norm(gw) * 9.81)
+    assert cos > 0.9986, f"gravity misaligned: cos={cos}"
+
+    # trajectory: after VI init the map is METRIC — alignment scale must be ~1
+    tr = sys.get_trajectory()
+    t_est = np.asarray([x[0] for x in tr])
+    P_est = np.asarray([x[1] for x in tr])
+    t_gt = np.asarray([g[0] for g in gts])
+    P_gt = np.asarray([g[1] for g in gts])
+    post = t_est > 4.5
+    stats = ate_rmse(t_est[post], P_est[post], t_gt, P_gt, with_scale=True)
+    assert stats["rmse"] < 0.08, stats
+    # metric scale recovered: the raw mono map sits at an arbitrary scale (~5x
+    # here); after VI init the Sim3-alignment scale must be near 1. A 4 s init
+    # window leaves 20-30% scale error (the reference mandates 15 s for the
+    # same reason, config/euroc.yaml:6) — the gate is metric-ness, not
+    # perfection.
+    assert abs(stats["scale"] - 1.0) < 0.35, f"metric scale off: {stats['scale']}"
