@@ -65,12 +65,15 @@ def main():
     P0, R0 = jnp.zeros(3), jnp.eye(3)
 
     @jax.jit
-    def frame_step(img):
+    def frame_step(img, m, P0, R0):
+        # NOTE: the map MUST be an argument — closed-over device arrays become
+        # XLA constants and large constants are rematerialized per call (~8x
+        # slowdown measured on v5e)
         f = extractor.extract(img, n_features=NF, n_levels=NL)
         res = tracking.track_frame_visual(m, f, f.xy, cam, ext, P0, R0, iters=10)
         return res.P, res.n_inliers
 
-    dt_frame = timeit(lambda: frame_step(img), n=20)
+    dt_frame = timeit(lambda: frame_step(img, m, P0, R0), n=20)
     fps = 1.0 / dt_frame
     print(f"# frame_tracking: {dt_frame*1e3:.2f} ms -> {fps:.1f} fps", file=sys.stderr)
 

@@ -44,25 +44,31 @@ def extract(img, n_features=1024, n_levels=8, scale=1.2, th_hi=20.0, th_lo=7.0,
     quotas = per_level_quota(n_features, n_levels, scale)
     sf = pyramid.scale_factors(n_levels, scale)
 
-    outs = []
+    # per-level detection + patch extraction; orientation and descriptors run
+    # ONCE over the concatenated patches of all levels (matmul formulation)
+    xys, lvls, scores, valids, patches_raw, patches_blur = [], [], [], [], [], []
     for li, (lvl_img, quota) in enumerate(zip(levels, quotas)):
         if quota == 0:
             continue
         xy, score, valid = fast.detect_grid(lvl_img, th_hi, th_lo, cell=cell,
                                             max_kp=quota, border=16)
         blur = pyramid.gaussian_blur(lvl_img)
-        ang = orb.ic_angle(lvl_img, xy)
-        desc = orb.brief_descriptors(blur, xy, ang)
-        xy0 = xy.astype(jnp.float32) * sf[li]
-        outs.append((xy0, jnp.full((quota,), li, jnp.int32), ang, score, desc,
-                     valid))
+        patches_raw.append(orb.extract_patches(lvl_img, xy))
+        patches_blur.append(orb.extract_patches(blur, xy))
+        xys.append(xy.astype(jnp.float32) * sf[li])
+        lvls.append(jnp.full((quota,), li, jnp.int32))
+        scores.append(score)
+        valids.append(valid)
 
-    xy = jnp.concatenate([o[0] for o in outs])
-    level = jnp.concatenate([o[1] for o in outs])
-    angle = jnp.concatenate([o[2] for o in outs])
-    score = jnp.concatenate([o[3] for o in outs])
-    desc = jnp.concatenate([o[4] for o in outs])
-    valid = jnp.concatenate([o[5] for o in outs])
-    desc = jnp.where(valid[:, None], desc, 0)
+    xy = jnp.concatenate(xys)
+    level = jnp.concatenate(lvls)
+    score = jnp.concatenate(scores)
+    valid = jnp.concatenate(valids)
+    p_raw = jnp.concatenate(patches_raw)
+    p_blur = jnp.concatenate(patches_blur)
+    angle = orb.ic_angle_from_patches(p_raw)
+    bits = orb.brief_from_patches(p_blur, angle)
+    bits = bits * valid[:, None].astype(bits.dtype)
+    desc = orb.pack_bits(bits)
     return Features(xy=xy, level=level, angle=angle, score=score, desc=desc,
-                    desc_pm1=orb.unpack_pm1(desc), valid=valid)
+                    desc_pm1=orb.bits_to_pm1(bits), valid=valid)

@@ -32,37 +32,43 @@ def _ring_stack(img):
 
 def _contiguous_arc(flags):
     """flags: (16, H, W) bool. True where some window of ARC consecutive ring
-    positions (cyclic) is all set."""
-    acc = flags.astype(jnp.float32)
-    windows = []
-    for s in range(16):
-        prod = jnp.ones_like(acc[0])
-        for k in range(ARC):
-            prod = prod * acc[(s + k) % 16]
-        windows.append(prod)
-    return jnp.stack(windows, 0).max(axis=0) > 0.5
+    positions (cyclic) is all set. Bit-trick: pack the ring into an int32,
+    duplicate the low 16 bits, then a log-doubling AND-shift reduction finds
+    runs of >= 9 in ~6 integer ops per pixel (vs 16x9 multiplies)."""
+    bits = jnp.zeros(flags.shape[1:], jnp.int32)
+    for i in range(16):
+        bits = bits | (flags[i].astype(jnp.int32) << i)
+    x = bits | (bits << 16)          # cyclic duplication
+    r2 = x & (x >> 1)                # runs >= 2
+    r4 = r2 & (r2 >> 2)              # runs >= 4
+    r8 = r4 & (r4 >> 4)              # runs >= 8
+    r9 = r8 & (x >> 8)               # runs >= 9
+    return (r9 & 0xFFFF) > 0
 
 
-def fast_response(img, threshold):
-    """Dense FAST response map. Returns (corner_mask (H,W) bool, score (H,W) f32).
+def fast_response_dual(img, th_hi, th_lo):
+    """Dense FAST over BOTH thresholds in one ring pass.
 
-    Score: max over (bright, dark) of the sum of threshold-exceeding ring
-    differences over the whole ring — the standard SAD-style FAST score.
-    """
+    Returns (corner_hi, corner_lo, score) — score is computed at the low
+    threshold (ordering-consistent for both sets)."""
     ring = _ring_stack(img)
     c = img[None]
-    bright = ring > c + threshold
-    dark = ring < c - threshold
-    corner = _contiguous_arc(bright) | _contiguous_arc(dark)
-    db = jnp.maximum(ring - c - threshold, 0.0)
-    dd = jnp.maximum(c - ring - threshold, 0.0)
-    score = jnp.maximum(jnp.sum(db, axis=0), jnp.sum(dd, axis=0))
-    # kill the 3px border (ring reads padded values there)
+    d = ring - c
+    corner_hi = _contiguous_arc(d > th_hi) | _contiguous_arc(d < -th_hi)
+    corner_lo = _contiguous_arc(d > th_lo) | _contiguous_arc(d < -th_lo)
+    score = jnp.maximum(jnp.sum(jnp.maximum(d - th_lo, 0.0), axis=0),
+                        jnp.sum(jnp.maximum(-d - th_lo, 0.0), axis=0))
     H, W = img.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inb = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
-    return corner & inb, jnp.where(corner & inb, score, 0.0)
+    return corner_hi & inb, corner_lo & inb, jnp.where(inb, score, 0.0)
+
+
+def fast_response(img, threshold):
+    """Single-threshold view (kept for tests/compat)."""
+    hi, lo, score = fast_response_dual(img, threshold, threshold)
+    return lo, jnp.where(lo, score, 0.0)
 
 
 def nms3(score):
@@ -84,8 +90,9 @@ def detect_grid(img, th_hi=20.0, th_lo=7.0, cell=32, max_kp=512, border=16):
     Coordinates are (x, y) at this image's resolution.
     """
     H, W = img.shape
-    _, s_hi = fast_response(img, th_hi)
-    _, s_lo = fast_response(img, th_lo)
+    c_hi, c_lo, score = fast_response_dual(img, th_hi, th_lo)
+    s_hi = jnp.where(c_hi, score, 0.0)
+    s_lo = jnp.where(c_lo, score, 0.0)
     keep = nms3(s_lo)
     s_hi = jnp.where(keep, s_hi, 0.0)
     s_lo = jnp.where(keep, s_lo, 0.0)

@@ -1,102 +1,137 @@
 """Oriented BRIEF descriptors: IC-angle orientation + steered binary tests.
 
 Replaces IC_Angle (src/ORBextractor.cpp:79) and computeOrbDescriptor (:111).
-The 256 sampling pairs are a deterministic learned-free Gaussian pattern
-generated at module load (NOT the OpenCV bit_pattern_31_ table — descriptors
-here only ever match against descriptors from this same extractor, so a
-fresh pattern with the same statistics is equivalent and keeps this
-implementation fully from-scratch).
+The 256 sampling pairs are a deterministic generated Gaussian pattern (NOT the
+OpenCV bit_pattern_31_ table — descriptors here only ever match against
+descriptors from this same extractor, so a fresh pattern with the same
+statistics is equivalent and keeps this implementation fully from-scratch).
 
-Descriptors are packed 256-bit words as (N, 8) uint32. An unpacked +/-1 int8
-form (N, 256) is produced on demand for MXU Hamming matmuls (matching.py).
+TPU-native formulation (no per-element gathers — measured 100x slower than
+matmuls on v5e):
+  * per-keypoint 31x31 patches come from ONE batched dynamic_slice (fast:
+    contiguous rows);
+  * IC angle = patches_flat @ moment_weights  (961 x 2 matmul);
+  * steered BRIEF quantizes the rotation into NBINS=32 steps (11.25 deg, finer
+    than BRIEF's own noise floor) and samples ALL bins at once with a selection
+    matmul patches_flat @ S^T where S is the precomputed (NBINS*256, 961)
+    one-hot table for each pattern point — then picks each keypoint's bin row.
+
+Descriptors are packed 256-bit words as (N, 8) uint32 plus the +/-1 int8 form
+(N, 256) used by the MXU Hamming matcher (matching.py).
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-PATCH_R = 15          # orientation patch radius (31x31), as the reference
-BRIEF_R = 13          # max test-point radius so rotated points stay in 31x31
+PATCH_R = 15          # patch radius (31x31), as the reference
+PATCH_W = 2 * PATCH_R + 1
+BRIEF_R = 13          # max test-point radius so rotated points stay in-patch
+NBINS = 32            # rotation quantization for the steered pattern
 
 
 def _make_pattern(seed=42, n=256, sigma=5.2, rmax=BRIEF_R):
-    """(n, 4) int8 pattern [x1, y1, x2, y2], Gaussian-distributed, clipped."""
+    """(n, 4) pattern [x1, y1, x2, y2], Gaussian-distributed, clipped."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, sigma, size=(n, 4))
     pts = np.clip(np.round(pts), -rmax, rmax)
-    # avoid degenerate identical pairs
     same = (pts[:, 0] == pts[:, 2]) & (pts[:, 1] == pts[:, 3])
     pts[same, 2] = np.clip(pts[same, 2] + 1, -rmax, rmax)
     return pts.astype(np.float32)
 
 
-PATTERN = jnp.asarray(_make_pattern())          # (256, 4)
-
-# circular-patch row half-widths for IC angle (u_max table, ORBextractor.cc:58-76)
-_UMAX = np.zeros(PATCH_R + 1, np.int32)
-for _v in range(PATCH_R + 1):
-    _UMAX[_v] = int(np.floor(np.sqrt(PATCH_R * PATCH_R - _v * _v) + 0.5))
-UMAX = jnp.asarray(_UMAX)
+PATTERN = _make_pattern()                     # (256, 4) numpy
 
 
-def _gather_patches(img, xy, r):
-    """Gather (K, 2r+1, 2r+1) patches centered at integer xy (K,2) [x,y]."""
+def _selection_tables():
+    """Precompute per-bin rotated nearest-integer sample indices as one-hot
+    selection matrices: (NBINS*256, 961) for each of the two pattern points."""
+    S1 = np.zeros((NBINS * 256, PATCH_W * PATCH_W), np.float32)
+    S2 = np.zeros_like(S1)
+    for b in range(NBINS):
+        th = 2.0 * np.pi * b / NBINS
+        ca, sa = np.cos(th), np.sin(th)
+        for s in range(256):
+            x1, y1, x2, y2 = PATTERN[s]
+            for (x, y, S) in ((x1, y1, S1), (x2, y2, S2)):
+                rx = int(np.clip(np.round(ca * x - sa * y), -PATCH_R, PATCH_R))
+                ry = int(np.clip(np.round(sa * x + ca * y), -PATCH_R, PATCH_R))
+                S[b * 256 + s, (ry + PATCH_R) * PATCH_W + (rx + PATCH_R)] = 1.0
+    return S1, S2
+
+
+_S1_np, _S2_np = _selection_tables()
+S1 = jnp.asarray(_S1_np)                      # (NBINS*256, 961)
+S2 = jnp.asarray(_S2_np)
+
+# circular-patch mask + moment weights for IC angle (u_max table equivalent)
+_d = np.arange(-PATCH_R, PATCH_R + 1)
+_mask = (_d[None, :] ** 2 + _d[:, None] ** 2) <= PATCH_R * PATCH_R
+_MW = np.stack([
+    (_mask * _d[None, :]).reshape(-1),        # m10 weights (x)
+    (_mask * _d[:, None]).reshape(-1),        # m01 weights (y)
+], axis=1).astype(np.float32)
+MOMENT_W = jnp.asarray(_MW)                   # (961, 2)
+
+
+def extract_patches(img, xy, r=PATCH_R):
+    """(K, 2r+1, 2r+1) patches via batched dynamic_slice (contiguous rows —
+    fast on TPU, unlike per-element gathers). Border keypoints clamp the
+    window (detection borders already exceed r)."""
     H, W = img.shape
-    d = jnp.arange(-r, r + 1)
-    yy = jnp.clip(xy[:, 1][:, None] + d[None, :], 0, H - 1)        # (K, 2r+1)
-    xx = jnp.clip(xy[:, 0][:, None] + d[None, :], 0, W - 1)        # (K, 2r+1)
-    return img[yy[:, :, None], xx[:, None, :]]                      # (K, 2r+1, 2r+1)
+    y0 = jnp.clip(xy[:, 1] - r, 0, H - (2 * r + 1))
+    x0 = jnp.clip(xy[:, 0] - r, 0, W - (2 * r + 1))
+    return jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(img, (y, x), (2 * r + 1, 2 * r + 1))
+    )(y0, x0)
+
+
+def ic_angle_from_patches(patches):
+    """(K, 31, 31) -> (K,) IC angle: one (K,961)@(961,2) matmul."""
+    m = patches.reshape(patches.shape[0], -1) @ MOMENT_W
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def ic_angle(img, xy):
-    """Intensity-centroid orientation for keypoints xy (K,2) int. Returns (K,) rad.
+    """Compatibility wrapper: gather patches then matmul."""
+    return ic_angle_from_patches(extract_patches(img, xy))
 
-    Circular patch of radius 15 (same shape as the reference's u_max table).
+
+def brief_from_patches(patches_blur, angle):
+    """Steered BRIEF from blurred patches.
+
+    patches_blur: (K, 31, 31); angle: (K,) rad.
+    Returns (bits (K,256) uint32 {0,1}).
     """
-    K = xy.shape[0]
-    patches = _gather_patches(img, xy, PATCH_R)                     # (K, 31, 31)
-    d = jnp.arange(-PATCH_R, PATCH_R + 1, dtype=img.dtype)
-    # circular mask from the u_max table
-    vv = jnp.abs(jnp.arange(-PATCH_R, PATCH_R + 1))
-    umax_v = UMAX[vv]                                               # (31,) per-row half width
-    mask = (jnp.abs(d)[None, :] <= umax_v[:, None]).astype(img.dtype)  # (31,31) [row=y]
-    m10 = jnp.einsum('kij,j,ij->k', patches, d, mask)
-    m01 = jnp.einsum('kij,i,ij->k', patches, d, mask)
-    return jnp.arctan2(m01, m10)
+    K = patches_blur.shape[0]
+    flat = patches_blur.reshape(K, -1)                         # (K, 961)
+    # all-bin samples in one MXU pass: (K, 961) @ (961, NBINS*256)
+    a1 = (flat @ S1.T).reshape(K, NBINS, 256)
+    a2 = (flat @ S2.T).reshape(K, NBINS, 256)
+    two_pi = 2.0 * jnp.pi
+    b = jnp.round(jnp.mod(angle, two_pi) * (NBINS / two_pi)).astype(jnp.int32) % NBINS
+    onehot = jax.nn.one_hot(b, NBINS, dtype=flat.dtype)        # (K, NBINS)
+    i1 = jnp.einsum('kbs,kb->ks', a1, onehot)
+    i2 = jnp.einsum('kbs,kb->ks', a2, onehot)
+    return (i1 < i2).astype(jnp.uint32)
+
+
+def pack_bits(bits):
+    """(K, 256) {0,1} -> (K, 8) uint32 packed words."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :],
+                   axis=-1).astype(jnp.uint32)
+
+
+def bits_to_pm1(bits):
+    """(K, 256) {0,1} -> (K, 256) int8 {-1,+1}."""
+    return (bits.astype(jnp.int8) * 2 - 1)
 
 
 def brief_descriptors(img_blur, xy, angle):
-    """Steered BRIEF. img_blur: blurred level image; xy (K,2) int; angle (K,).
-
-    Returns packed (K, 8) uint32 descriptors. Sampling is nearest-neighbor on
-    rotated integer offsets (as the reference, src/ORBextractor.cpp:124-136).
-    """
-    H, W = img_blur.shape
-    ca, sa = jnp.cos(angle), jnp.sin(angle)                         # (K,)
-    px1, py1, px2, py2 = PATTERN[:, 0], PATTERN[:, 1], PATTERN[:, 2], PATTERN[:, 3]
-
-    def rot(px, py):
-        # rotated offsets, rounded to nearest int
-        rx = jnp.round(ca[:, None] * px[None, :] - sa[:, None] * py[None, :]).astype(jnp.int32)
-        ry = jnp.round(sa[:, None] * px[None, :] + ca[:, None] * py[None, :]).astype(jnp.int32)
-        return rx, ry
-
-    r1x, r1y = rot(px1, py1)
-    r2x, r2y = rot(px2, py2)
-    gx1 = jnp.clip(xy[:, 0:1] + r1x, 0, W - 1)
-    gy1 = jnp.clip(xy[:, 1:2] + r1y, 0, H - 1)
-    gx2 = jnp.clip(xy[:, 0:1] + r2x, 0, W - 1)
-    gy2 = jnp.clip(xy[:, 1:2] + r2y, 0, H - 1)
-    i1 = img_blur[gy1, gx1]                                         # (K, 256)
-    i2 = img_blur[gy2, gx2]
-    bits = (i1 < i2).astype(jnp.uint32)                             # (K, 256)
-    # pack 256 bits -> 8 uint32 words
-    shifts = (jnp.arange(32, dtype=jnp.uint32))
-    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
-    return words.astype(jnp.uint32)
+    """Compatibility wrapper: packed (K, 8) uint32 descriptors."""
+    return pack_bits(brief_from_patches(extract_patches(img_blur, xy), angle))
 
 
 def unpack_pm1(desc_packed):
