@@ -95,6 +95,20 @@ def main():
     print(f"# local VI BA (10 LM iters): {dt_ba*1e3:.2f} ms "
           f"-> {10/dt_ba:.1f} LM iters/s", file=sys.stderr)
 
+    # --- workload 3b: batched multi-sequence tracking (8 sequences, 1 chip) ---
+    from mc_slam_tpu.parallel import multiseq
+    B = 8
+    ms = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), m)
+    imgs_b = jnp.broadcast_to(img[None], (B, H, W))
+    P0b = jnp.zeros((B, 3))
+    R0b = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    mstep = multiseq.make_batched_step(cam, ext, n_features=NF, n_levels=NL)
+    dt_ms = timeit(lambda: mstep(ms, imgs_b, P0b, R0b)[0], n=10)
+    fps_agg = B / dt_ms
+    print(f"# batched 8-seq tracking: {dt_ms*1e3:.2f} ms -> {fps_agg:.0f} frames/s aggregate",
+          file=sys.stderr)
+
     # --- workload 4: Hamming matching 1024x16384 ---
     a = pm1[:1024]
     hm = jax.jit(lambda x, y: matching.hamming_matrix(x, y).sum())
@@ -112,6 +126,7 @@ def main():
             "extraction_ms": round(dt_ex * 1e3, 3),
             "vi_ba_20kf_ms": round(dt_ba * 1e3, 2),
             "hamming_gpairs_s": round(rate, 2),
+            "batched8_fps_aggregate": round(fps_agg, 1),
         },
     }))
 

@@ -59,10 +59,19 @@ def main():
                          vi_init_time=15.0, g_mag=9.810)
     slam = SlamSystem(cam, cfg, Tbc=None if args.no_imu else Tbc)
 
+    from mc_slam_tpu.io import native_loader
+
+    def frames():
+        if native_loader.available():
+            print("# using native C++ prefetch loader", file=sys.stderr)
+            yield from native_loader.NativeEurocLoader(args.mav0)
+        else:
+            for t_frame, path, imu_rows in euroc.slice_imu_per_frame(seq):
+                yield t_frame, euroc.load_gray_image(path), imu_rows
+
     times = []
     n = 0
-    for t_frame, path, imu_rows in euroc.slice_imu_per_frame(seq):
-        img = euroc.load_gray_image(path)
+    for t_frame, img, imu_rows in frames():
         t0 = time.perf_counter()
         slam.track(img, t_frame, imu=None if args.no_imu else imu_rows)
         times.append(time.perf_counter() - t0)

@@ -1,0 +1,57 @@
+"""Cross-sequence batching: track B sequences as one vmapped device program.
+
+BASELINE.json config #4 ("all 11 EuRoC sequences batched on one host, keyframe
+blocks sharded across chips"): every per-frame kernel is already fixed-shape,
+so a batch of per-sequence MapStates is just a leading axis, and scale-out
+across chips is a NamedSharding on that axis (pure data parallelism — each
+sequence's map lives on one device; no cross-device traffic in the hot loop).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mc_slam_tpu.frontend import extractor
+from mc_slam_tpu.pipeline import tracking
+
+
+def stack_maps(maps):
+    """List of per-sequence MapState -> batched MapState (B, ...)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps)
+
+
+def make_batched_step(cam, ext, n_features=1024, n_levels=8, iters=10,
+                      mesh: Mesh | None = None):
+    """Build a jitted (optionally sharded) batched extract+track step.
+
+    With a mesh, the sequence axis is sharded across devices ("seq" data
+    parallelism); without, the batch runs on one chip.
+    """
+    def one(m, img, P0, R0):
+        f = extractor.extract(img, n_features=n_features, n_levels=n_levels)
+        r = tracking.track_frame_visual(m, f, f.xy, cam, ext, P0, R0,
+                                        iters=iters)
+        return r.P, r.R, r.feat_mp, r.n_inliers
+
+    step = jax.jit(jax.vmap(one))
+    if mesh is None:
+        return step
+
+    shard = NamedSharding(mesh, P("seq"))
+
+    def sharded_step(ms, imgs, P0s, R0s):
+        ms = jax.tree_util.tree_map(lambda a: jax.device_put(a, shard), ms)
+        imgs = jax.device_put(imgs, shard)
+        P0s = jax.device_put(P0s, shard)
+        R0s = jax.device_put(R0s, shard)
+        return step(ms, imgs, P0s, R0s)
+
+    return sharded_step
+
+
+def make_seq_mesh(n_devices=None):
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(devs, ("seq",))

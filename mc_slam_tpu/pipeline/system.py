@@ -105,6 +105,12 @@ class SlamSystem:
         self.n_loops_closed = 0
         self.enable_loop_closing = True
 
+        # observability (SURVEY.md section 5): per-stage timers + optional
+        # VI-init diagnostic file streaming (plotinit.py-compatible)
+        from mc_slam_tpu.utils.metrics import StageTimer
+        self.timers = StageTimer()
+        self.viinit_log = None      # set to utils.metrics.VIInitLog(dir) to enable
+
     # ------------------------------------------------------------------
     def _undistort(self, feats: Features):
         return undistort_points(self.cam, feats.xy)
@@ -116,9 +122,10 @@ class SlamSystem:
         if imu is not None and len(imu):
             self.imu_since_kf.append(np.asarray(imu, np.float32))
             self.imu_since_frame.append(np.asarray(imu, np.float32))
-        feats = extractor.extract(jnp.asarray(img, jnp.float32),
-                                  n_features=cfg.n_feat, n_levels=cfg.n_levels)
-        uv = self._undistort(feats)
+        with self.timers.stage("extract"):
+            feats = extractor.extract(jnp.asarray(img, jnp.float32),
+                                      n_features=cfg.n_feat, n_levels=cfg.n_levels)
+            uv = self._undistort(feats)
         ok = False
         if self.state == NO_IMAGES_YET:
             self.init_feats, self.init_uv = feats, uv
@@ -126,15 +133,20 @@ class SlamSystem:
         elif self.state == NOT_INITIALIZED:
             ok = self._try_initialize(feats, uv, t)
         else:
-            ok = self._track_frame(feats, uv, t)
+            with self.timers.stage("track"):
+                ok = self._track_frame(feats, uv, t)
             if not ok and self.state == LOST:
-                ok = self._relocalize(feats, uv, t)
+                with self.timers.stage("relocalize"):
+                    ok = self._relocalize(feats, uv, t)
             if ok and self._need_new_kf():
-                slot = self._create_keyframe(feats, uv, t)
-                self._local_mapping()
-                self._try_close_loop(slot)
+                with self.timers.stage("local_mapping"):
+                    slot = self._create_keyframe(feats, uv, t)
+                    self._local_mapping()
+                with self.timers.stage("loop_closing"):
+                    self._try_close_loop(slot)
             if ok and not self.vi_inited and cfg.use_imu:
-                self._maybe_vi_init(t)
+                with self.timers.stage("vi_init"):
+                    self._maybe_vi_init(t)
         self.last_feats = feats
         self.last_time = t
         self.frame_id += 1
@@ -681,8 +693,13 @@ class SlamSystem:
         Pwc = Pwb + (Rwb @ pbc[..., None])[..., 0]
         pre = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
         valid = jnp.asarray([0.0] + [1.0] * (len(act) - 1), jnp.float32)
+        import time as _time
+        _t0 = _time.perf_counter()
         res = viinit.try_init_vio(Pwc, Rwc, pre, valid, self.ext.Rcb,
                                   self.ext.tcb, g_mag=cfg.g_mag)
+        if self.viinit_log is not None:
+            self.viinit_log.log_attempt(t, res,
+                                        (_time.perf_counter() - _t0) * 1e3)
         s = float(res.scale)
         if not np.isfinite(s) or s <= 1e-3:
             return
