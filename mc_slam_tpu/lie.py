@@ -293,6 +293,20 @@ def sim3_apply(s, R, t, x):
     return s[..., None] * (R @ x[..., None])[..., 0] + t
 
 
+def sim3_adjoint(s, R, t):
+    """Adjoint of Sim(3) in [rho, phi, sigma] coordinates:
+    Ad = [[s R, hat(t) R, -t], [0, R, 0], [0, 0, 1]] — maps a left-multiplicative
+    tangent on the identity side through conjugation by (s, R, t)."""
+    sh = s.shape
+    A = jnp.zeros(sh + (7, 7), R.dtype)
+    A = A.at[..., :3, :3].set(s[..., None, None] * R)
+    A = A.at[..., :3, 3:6].set(hat(t) @ R)
+    A = A.at[..., :3, 6].set(-t)
+    A = A.at[..., 3:6, 3:6].set(R)
+    A = A.at[..., 6, 6].set(1.0)
+    return A
+
+
 def sim3_log(s, R, t):
     """Log map Sim(3) -> (...,7) [rho, phi, sigma]. Inverse of sim3_exp (via solve)."""
     sigma = jnp.log(s)

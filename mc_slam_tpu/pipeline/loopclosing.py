@@ -97,6 +97,20 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
     w = ok.astype(jnp.float32)
     res = sim3solver.sim3_ransac(key, Pc_loop, Pc_cur, w, float(cam.fx),
                                  min_inliers=min_inliers)
+    if not bool(res.ok):
+        return res
+    # pixel-space refinement on the RANSAC inliers (Optimizer::OptimizeSim3,
+    # called from ComputeSim3 at src/LoopClosing.cpp:361)
+    from mc_slam_tpu.solver.sim3opt import optimize_sim3
+    uv_cur = m.kf_uv[slot_cur]
+    uv_loop = m.kf_uv[slot_loop][idx]
+    w_in = res.inliers.astype(jnp.float32) * w
+    s2, R2, t2, n_in = optimize_sim3(res.s, res.R, res.t, Pc_cur, Pc_loop,
+                                     uv_cur, uv_loop, w_in, cam, iters=10)
+    # keep the refinement only when it strictly improves inlier support —
+    # otherwise trust the RANSAC-consensus estimate
+    if int(n_in) > int(res.n_inliers):
+        res = res._replace(s=s2, R=R2, t=t2, n_inliers=n_in)
     return res
 
 

@@ -28,12 +28,13 @@ from mc_slam_tpu.solver import factors
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def cull_map_points(m: MapState, current_kf_id):
+def cull_map_points(m: MapState, current_kf_id, min_obs=3):
+    """min_obs: 3 for monocular, 2 for stereo/RGB-D (the reference's nThObs)."""
     obs_n = observation_counts(m)
     found_ratio = m.mp_found / jnp.maximum(m.mp_visible, 1.0)
     age = current_kf_id - m.mp_first_kf
     bad = (found_ratio < 0.25) & (m.mp_visible >= 4)
-    bad = bad | ((age >= 2) & (obs_n < 3) & (age <= 4))
+    bad = bad | ((age >= 2) & (obs_n < min_obs) & (age <= 4))
     deactivate = m.mp_active & bad
     new_active = m.mp_active & ~bad
     # remove dangling feature associations

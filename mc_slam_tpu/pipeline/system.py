@@ -54,6 +54,8 @@ class SlamConfig:
     vi_init_time: float = 15.0      # seconds (config/euroc.yaml:6)
     g_mag: float = 9.81
     use_imu: bool = False
+    stereo_baseline: float = 0.11   # meters (EuRoC-like rig)
+    cull_min_obs: int = 3           # 3 mono, 2 for depth sensors (nThObs)
     seed: int = 0
 
 
@@ -64,6 +66,7 @@ class SlamSystem:
                  Tbc: Optional[np.ndarray] = None, noise: IMUNoise = None):
         self.cam = cam
         self.cfg = cfg or SlamConfig()
+        self._Tbc = Tbc
         self.ext = (factors.extrinsics_from_Tbc(Tbc) if Tbc is not None
                     else factors.identity_extrinsics())
         self.noise = noise or euroc_noise()
@@ -104,6 +107,7 @@ class SlamSystem:
             self.cfg.max_kf)
         self.n_loops_closed = 0
         self.enable_loop_closing = True
+        self.localization_only = False   # Activate/DeactivateLocalizationMode
 
         # observability (SURVEY.md section 5): per-stage timers + optional
         # VI-init diagnostic file streaming (plotinit.py-compatible)
@@ -115,9 +119,11 @@ class SlamSystem:
     def _undistort(self, feats: Features):
         return undistort_points(self.cam, feats.xy)
 
-    def track(self, img, t, imu=None):
+    def track(self, img, t, imu=None, depth=None, img_right=None):
         """Process one frame. img: (H,W) float32; t: time; imu: (T,7) rows
-        [gyro, acc, dt] since the previous frame (VI mode)."""
+        [gyro, acc, dt] since the previous frame (VI mode); depth: optional
+        (H,W) metric depth map (RGB-D mode, TrackRGBD); img_right: optional
+        rectified right image (stereo mode, TrackStereo)."""
         cfg = self.cfg
         if imu is not None and len(imu):
             self.imu_since_kf.append(np.asarray(imu, np.float32))
@@ -126,21 +132,30 @@ class SlamSystem:
             feats = extractor.extract(jnp.asarray(img, jnp.float32),
                                       n_features=cfg.n_feat, n_levels=cfg.n_levels)
             uv = self._undistort(feats)
+        feat_depth = self._feature_depth(feats, uv, depth, img_right)
         ok = False
         if self.state == NO_IMAGES_YET:
-            self.init_feats, self.init_uv = feats, uv
-            self.state = NOT_INITIALIZED
+            if feat_depth is not None:
+                ok = self._initialize_from_depth(feats, uv, feat_depth, t)
+            else:
+                self.init_feats, self.init_uv = feats, uv
+                self.state = NOT_INITIALIZED
         elif self.state == NOT_INITIALIZED:
-            ok = self._try_initialize(feats, uv, t)
+            if feat_depth is not None:
+                ok = self._initialize_from_depth(feats, uv, feat_depth, t)
+            else:
+                ok = self._try_initialize(feats, uv, t)
         else:
             with self.timers.stage("track"):
                 ok = self._track_frame(feats, uv, t)
             if not ok and self.state == LOST:
                 with self.timers.stage("relocalize"):
                     ok = self._relocalize(feats, uv, t)
-            if ok and self._need_new_kf():
+            if ok and not self.localization_only and self._need_new_kf():
                 with self.timers.stage("local_mapping"):
                     slot = self._create_keyframe(feats, uv, t)
+                    if feat_depth is not None:
+                        self._add_depth_points(slot, feats, uv, feat_depth)
                     self._local_mapping()
                 with self.timers.stage("loop_closing"):
                     self._try_close_loop(slot)
@@ -154,6 +169,114 @@ class SlamSystem:
             P, R = self.last_pose
             self.trajectory.append((t, np.asarray(P), np.asarray(R)))
         return ok
+
+    # ------------------------------------------------------------------
+    # Depth modes: RGB-D and stereo (System.h:45-50 sensor enum; stereo
+    # matching replaces Frame's L/R threads; StereoInitialization creates the
+    # map from the first frame instead of 2-view RANSAC)
+    # ------------------------------------------------------------------
+    def _feature_depth(self, feats, uv, depth, img_right):
+        """Per-feature metric depth from an RGB-D map or a rectified right
+        image; None in monocular mode."""
+        if depth is not None:
+            dm = np.asarray(depth, np.float32)
+            xy = np.asarray(feats.xy)
+            xs = np.clip(xy[:, 0].astype(int), 0, dm.shape[1] - 1)
+            ys = np.clip(xy[:, 1].astype(int), 0, dm.shape[0] - 1)
+            d = dm[ys, xs]
+            return jnp.asarray(np.where(d > 1e-3, d, -1.0))
+        if img_right is not None:
+            from mc_slam_tpu.frontend import stereo
+            fR = extractor.extract(jnp.asarray(img_right, jnp.float32),
+                                   n_features=self.cfg.n_feat,
+                                   n_levels=self.cfg.n_levels)
+            uvR = self._undistort(fR)
+            d, ok = stereo.stereo_depth(uv, feats.desc_pm1, feats.valid,
+                                        uvR, fR.desc_pm1, fR.valid,
+                                        float(self.cam.fx), self.cfg.stereo_baseline)
+            # only "close" points are trustworthy stereo depth (the reference's
+            # mThDepth = 35 * baseline rule); farther landmarks come from
+            # multi-view triangulation instead
+            return jnp.where(d < 35.0 * self.cfg.stereo_baseline, d, -1.0)
+        return None
+
+    def _depth_to_world(self, uv, feat_depth, P_b, R_b):
+        """Ideal pixel + depth -> world points under body pose (P_b, R_b)."""
+        xn = (uv - jnp.asarray([float(self.cam.cx), float(self.cam.cy)])) / \
+            jnp.asarray([float(self.cam.fx), float(self.cam.fy)])
+        Xc = jnp.concatenate([xn * feat_depth[:, None], feat_depth[:, None]], axis=1)
+        Rbc = jnp.swapaxes(self.ext.Rcb, -1, -2)
+        pbc = -(Rbc @ self.ext.tcb[..., None])[..., 0]
+        Xb = (Rbc @ Xc[..., None])[..., 0] + pbc
+        return (R_b @ Xb[..., None])[..., 0] + P_b
+
+    def _alloc_points(self, Xw, desc, pm1, level, ref_slot, order_sel):
+        """Write new landmarks into free map slots. order_sel: bool (F,) mask in
+        feature order; returns the chosen slots (np array aligned to features)."""
+        m = self.m
+        free_slots = np.nonzero(~np.asarray(m.mp_active))[0]
+        feat_idx = np.nonzero(order_sel)[0]
+        k = min(len(free_slots), len(feat_idx))
+        feat_idx = feat_idx[:k]
+        slots = free_slots[:k]
+        if k == 0:
+            return np.zeros(0, int), np.zeros(0, int)
+        Xs = np.asarray(Xw)[feat_idx]
+        dist = np.linalg.norm(Xs - np.asarray(self.m.kf_ns.P[ref_slot]), axis=1)
+        lvl = np.asarray(level)[feat_idx].astype(np.float32)
+        max_d = dist * (1.2 ** lvl)
+        min_d = max_d / (1.2 ** (self.cfg.n_levels - 1))
+        sl = jnp.asarray(slots)
+        self.m = m._replace(
+            mp_pos=m.mp_pos.at[sl].set(jnp.asarray(Xs)),
+            mp_desc=m.mp_desc.at[sl].set(desc[jnp.asarray(feat_idx)]),
+            mp_pm1=m.mp_pm1.at[sl].set(pm1[jnp.asarray(feat_idx)]),
+            mp_normal=m.mp_normal.at[sl].set(
+                jnp.asarray(Xs / np.maximum(dist, 1e-9)[:, None])),
+            mp_min_dist=m.mp_min_dist.at[sl].set(jnp.asarray(min_d)),
+            mp_max_dist=m.mp_max_dist.at[sl].set(jnp.asarray(max_d)),
+            mp_ref_kf=m.mp_ref_kf.at[sl].set(ref_slot),
+            mp_first_kf=m.mp_first_kf.at[sl].set(self.frame_id),
+            mp_found=m.mp_found.at[sl].set(1.0),
+            mp_visible=m.mp_visible.at[sl].set(1.0),
+            mp_active=m.mp_active.at[sl].set(True),
+            kf_mp=m.kf_mp.at[ref_slot, jnp.asarray(feat_idx)].set(sl),
+        )
+        return feat_idx, slots
+
+    def _initialize_from_depth(self, feats, uv, feat_depth, t):
+        """Stereo/RGB-D initialization: one keyframe, metric points from depth
+        (Tracking::StereoInitialization)."""
+        good = np.asarray(feats.valid) & (np.asarray(feat_depth) > 1e-3)
+        if good.sum() < 50:
+            return False
+        slot = self._insert_kf_raw(jnp.zeros(3), jnp.eye(3), feats, uv, t_kf=t)
+        Xw = self._depth_to_world(uv, feat_depth, jnp.zeros(3), jnp.eye(3))
+        self._alloc_points(Xw, feats.desc, feats.desc_pm1, feats.level, slot,
+                           good)
+        self.last_pose = (jnp.zeros(3), jnp.eye(3))
+        self.velocity = (jnp.zeros(3), jnp.eye(3))
+        self.state = OK
+        self._cur_feat_mp = jnp.asarray(np.asarray(self.m.kf_mp[slot]))
+        self._cur_inliers = int(good.sum())
+        return True
+
+    def _add_depth_points(self, slot, feats, uv, feat_depth, max_new=128):
+        """On keyframe creation, add landmarks for unassociated features with
+        depth (Tracking::CreateNewKeyFrame's close-point insertion for
+        stereo/RGB-D)."""
+        has_mp = np.asarray(self.m.kf_mp[slot]) >= 0
+        d_np = np.asarray(feat_depth)
+        cand = np.asarray(feats.valid) & (d_np > 1e-3) & ~has_mp
+        if cand.sum() == 0:
+            return
+        # nearest-first, capped
+        order = np.argsort(np.where(cand, d_np, np.inf))[:max_new]
+        sel = np.zeros_like(cand)
+        sel[order[np.isfinite(np.where(cand, d_np, np.inf)[order])]] = True
+        P_b, R_b = self._kf_body_pose(slot)
+        Xw = self._depth_to_world(uv, feat_depth, P_b, R_b)
+        self._alloc_points(Xw, feats.desc, feats.desc_pm1, feats.level, slot, sel)
 
     # ------------------------------------------------------------------
     # Monocular initialization (Tracking::MonocularInitialization :1322)
@@ -352,6 +475,21 @@ class SlamSystem:
             self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
             pre, self.gw, self.prior)
         n_in = int(n_in)
+        if n_in < 20:
+            # IMU prediction missed the match window (bad gravity/bias or fast
+            # motion): fall back to wide-window visual tracking from the last
+            # pose, as the reference widens th and drops to
+            # TrackReferenceKeyFrame (src/Tracking.cpp:358-365, :876-884)
+            resv = tracking.track_frame_visual(
+                self.m, feats, uv, self.cam, self.ext,
+                self.last_ns.P, self.last_ns.R, radius_coarse=40.0)
+            if int(resv.n_inliers) > n_in:
+                dt_f = max(t - self.last_time, 1e-3)
+                V_est = (resv.P - self.last_ns.P) / dt_f
+                ns2 = ns2._replace(P=resv.P, R=resv.R, V=V_est)
+                feat_mp = resv.feat_mp
+                n_in = int(resv.n_inliers)
+                H_marg = jnp.eye(15, dtype=jnp.float32) * 1e2  # weak fresh prior
         # accept threshold: >= 6 inliers with IMU support (src/Tracking.cpp:281-288)
         if n_in < max(6, cfg.min_track_inliers // 2):
             self.state = LOST
@@ -406,7 +544,8 @@ class SlamSystem:
     def _local_mapping(self):
         cfg = self.cfg
         slot = self.last_kf_slot
-        self.m, _ = mapping.cull_map_points(self.m, jnp.asarray(self.frame_id))
+        self.m, _ = mapping.cull_map_points(self.m, jnp.asarray(self.frame_id),
+                                            jnp.asarray(self.cfg.cull_min_obs))
         # triangulate with top covisible neighbors
         for nb in self._covisible(slot, 4):
             self.m, n_new = mapping.create_points_with_neighbor(
@@ -456,7 +595,7 @@ class SlamSystem:
             valid=valid.astype(jnp.float32))
         return obs
 
-    def _local_ba(self, force_all=False):
+    def _local_ba(self, force_all=False, prune=True):
         cfg = self.cfg
         if force_all:
             window = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
@@ -508,8 +647,11 @@ class SlamSystem:
             self.m = self.m._replace(
                 kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
                 mp_pos=pts2)
-        # remove outlier associations (chi2 gate)
-        self._prune_obs(all_slots, obs, chi2)
+        # remove outlier associations (chi2 gate) — skipped right after a loop
+        # correction, where residuals are still settling and a mass prune would
+        # destroy map connectivity
+        if prune:
+            self._prune_obs(all_slots, obs, chi2)
 
     def _prune_obs(self, slots, obs, chi2):
         bad = (chi2 > ba.CHI2_MONO * 1.5) & (obs.valid > 0)
@@ -643,7 +785,7 @@ class SlamSystem:
             return
         # cooldown after a closure (reference: mnLastLoopKFid + 10,
         # src/LoopClosing.cpp:137-141)
-        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 10:
+        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 5:
             return
         cand = self.loop.detect(self.m, slot, act)
         if cand < 0:
@@ -657,7 +799,7 @@ class SlamSystem:
         self.n_loops_closed += 1
         self._last_loop_nkf = self.n_kf
         # full BA after the pose-graph correction (RunGlobalBundleAdjustment)
-        self._local_ba(force_all=True)
+        self._local_ba(force_all=True, prune=False)
         self.last_pose = self._kf_body_pose(slot)
         if self.vi_inited:
             self.last_ns = jax.tree_util.tree_map(
@@ -746,6 +888,16 @@ class SlamSystem:
         self.last_pose = (self.last_ns.P, self.last_ns.R)
 
     # ------------------------------------------------------------------
+    def set_localization_mode(self, on: bool):
+        """Activate/DeactivateLocalizationMode (include/System.h:83-87): track
+        against the frozen map without inserting keyframes or mapping."""
+        self.localization_only = bool(on)
+
+    def reset(self):
+        """System::Reset semantics: clear the map and start over
+        (src/Tracking.cpp:2569)."""
+        self.__init__(self.cam, self.cfg, Tbc=self._Tbc, noise=self.noise)
+
     def get_trajectory(self):
         """[(t, P_wb (3,), R_wb (3,3))] per tracked frame."""
         return self.trajectory

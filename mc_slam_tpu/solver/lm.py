@@ -196,7 +196,13 @@ def lm_optimize(x0, linearize_solve: Callable, retract: Callable, cost_fn: Calla
         dx = linearize_solve(st.x, st.lam)
         x_new = retract(st.x, dx)
         c_new = cost_fn(x_new)
-        accept = c_new < st.cost        # False for NaN -> reject
+        # candidate must BOTH lower the cost and be entirely finite: behind-
+        # camera masking in robust costs can swallow NaN states into finite
+        # saturated costs, so a NaN-poisoned solve could otherwise be accepted
+        finite = jnp.asarray(True)
+        for leaf in jax.tree_util.tree_leaves(x_new):
+            finite = finite & jnp.all(jnp.isfinite(leaf))
+        accept = (c_new < st.cost) & finite
         x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st.x, x_new)
         lam = jnp.clip(jnp.where(accept, st.lam * lam_down, st.lam * lam_up), lam_min, lam_max)
         cost = jnp.where(accept, c_new, st.cost)

@@ -16,9 +16,10 @@ class DotWorld:
         self.patches = rng.uniform(40, 255, size=(n, patch, patch)).astype(np.float32)
         self.r = patch // 2
 
-    def render(self, Rwc, Cw, background=35.0):
+    def render(self, Rwc, Cw, background=35.0, with_depth=False):
         F, W, H, r = self.F, self.W, self.H, self.r
         img = np.full((H, W), background, np.float32)
+        dep = np.zeros((H, W), np.float32)
         Pc = (np.asarray(Rwc).T @ (self.pts - np.asarray(Cw)).T).T
         vis = Pc[:, 2] > 0.5
         u = (F * Pc[:, 0] / np.maximum(Pc[:, 2], 1e-6) + W / 2).astype(int)
@@ -26,4 +27,12 @@ class DotWorld:
         for i in np.nonzero(vis)[0]:
             if r + 1 <= u[i] < W - r - 1 and r + 1 <= v[i] < H - r - 1:
                 img[v[i] - r:v[i] + r + 1, u[i] - r:u[i] + r + 1] = self.patches[i]
-        return img
+                dep[v[i] - r:v[i] + r + 1, u[i] - r:u[i] + r + 1] = Pc[i, 2]
+        return (img, dep) if with_depth else img
+
+    def render_stereo(self, Rwc, Cw, baseline=0.11, background=35.0):
+        """Rectified pair: right camera displaced by +baseline along camera x."""
+        left = self.render(Rwc, Cw, background)
+        C_right = np.asarray(Cw) + np.asarray(Rwc) @ np.array([baseline, 0, 0], np.float32)
+        right = self.render(Rwc, C_right, background)
+        return left, right

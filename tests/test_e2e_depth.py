@@ -1,0 +1,106 @@
+"""RGB-D and stereo sensor modes (System.h:45-50): first-frame metric
+initialization, depth-fed map growth, METRIC trajectory (alignment scale ~1
+without IMU or Sim3 scale freedom)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import make_camera
+from mc_slam_tpu.eval.ate import ate_rmse
+from mc_slam_tpu.frontend import extractor, stereo
+from mc_slam_tpu.pipeline.system import SlamConfig, SlamSystem, OK
+
+from render import DotWorld
+
+CAM = make_camera(300.0, 300.0, 240.0, 180.0, width=480, height=360)
+
+
+def pose(t):
+    P = np.array([0.8 * np.sin(0.4 * t), 0.15 * np.sin(0.3 * t), 0.05 * t],
+                 np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.08 * np.sin(0.5 * t), 0.0],
+                                           jnp.float32))).astype(np.float32)
+    return P, R
+
+
+def run_and_score(sys, frames):
+    gts = []
+    n_ok = 0
+    for t, img, kwargs in frames:
+        n_ok += int(sys.track(img, t, **kwargs))
+        gts.append((t, pose(t)[0]))
+    tr = sys.get_trajectory()
+    t_est = np.asarray([x[0] for x in tr])
+    P_est = np.asarray([x[1] for x in tr])
+    stats = ate_rmse(t_est, P_est, np.asarray([g[0] for g in gts]),
+                     np.asarray([g[1] for g in gts]), with_scale=True)
+    return n_ok, stats
+
+
+@pytest.mark.slow
+def test_rgbd_mode_metric(rng):
+    world = DotWorld(rng)
+    cfg = SlamConfig(max_kf=64, max_mp=2048, n_feat=384, n_levels=3, cull_min_obs=2)
+    sys = SlamSystem(CAM, cfg)
+    frames = []
+    for i in range(35):
+        t = i * 0.1
+        P, R = pose(t)
+        img, dep = world.render(R, P, with_depth=True)
+        frames.append((t, img, {"depth": dep}))
+    n_ok, stats = run_and_score(sys, frames)
+    assert sys.state == OK
+    assert n_ok > 30, n_ok
+    assert stats["rmse"] < 0.05, stats
+    # depth makes the map METRIC: alignment scale ~1
+    assert abs(stats["scale"] - 1.0) < 0.05, stats["scale"]
+    assert int(sys.m.mp_active.sum()) > 150
+
+
+def test_stereo_depth_accuracy(rng):
+    """Row-banded stereo matching recovers metric depth for rendered features."""
+    world = DotWorld(rng)
+    P, R = pose(0.0)
+    # wall at ~6 m: disparity = fx*b/z ~ 5.5 px at b=0.11, so +/-1 px keypoint
+    # noise is ~18% depth error — pure geometry, not the matcher. Use a wider
+    # test baseline for a meaningful accuracy gate.
+    b = 0.25
+    left, right = world.render_stereo(R, P, baseline=b)
+    fL = extractor.extract(jnp.asarray(left), n_features=384, n_levels=3)
+    fR = extractor.extract(jnp.asarray(right), n_features=384, n_levels=3)
+    d, ok = stereo.stereo_depth(fL.xy, fL.desc_pm1, fL.valid,
+                                fR.xy, fR.desc_pm1, fR.valid, 300.0, b)
+    ok = np.asarray(ok)
+    assert ok.sum() > 100, ok.sum()
+    # ground-truth depth at left features from the world z-buffer
+    _, dep = world.render(R, P, with_depth=True)
+    xy = np.asarray(fL.xy).astype(int)
+    gt = dep[np.clip(xy[:, 1], 0, 359), np.clip(xy[:, 0], 0, 479)]
+    sel = ok & (gt > 0)
+    rel = np.abs(np.asarray(d)[sel] - gt[sel]) / gt[sel]
+    assert np.median(rel) < 0.08, np.median(rel)
+
+
+@pytest.mark.slow
+def test_stereo_mode_metric(rng):
+    world = DotWorld(rng)
+    cfg = SlamConfig(max_kf=64, max_mp=2048, n_feat=384, n_levels=3,
+                     stereo_baseline=0.25, cull_min_obs=2)
+    sys = SlamSystem(CAM, cfg)
+    frames = []
+    for i in range(30):
+        t = i * 0.1
+        P, R = pose(t)
+        left, right = world.render_stereo(R, P, baseline=0.25)
+        frames.append((t, left, {"img_right": right}))
+    n_ok, stats = run_and_score(sys, frames)
+    assert sys.state == OK
+    assert n_ok > 25, n_ok
+    # stereo currently seeds metric landmarks but BA treats them as free mono
+    # points (no stereo reprojection factor yet, unlike the reference's
+    # EdgeStereoSE3ProjectXYZ) so scale is only re-anchored at each keyframe —
+    # gates are correspondingly loose. TODO(next round): depth residuals in BA.
+    assert stats["rmse"] < 0.2, stats
+    assert abs(stats["scale"] - 1.0) < 0.35, stats["scale"]
