@@ -73,7 +73,7 @@ def dist_schur_solve(mesh, obs: lm.Observations, cam_H, cam_g, free_mask,
         # local landmark inverses + partial Schur pieces
         eyep = jnp.eye(DP, dtype=Hpp.dtype)
         Hpp_d = Hpp + lam * (Hpp * eyep) + 1e-8 * eyep
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = lm.batched_inv_small(Hpp_d)
         Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)
         S_part = Hcc - jnp.einsum('cipk,djpk->cidj', Y, Wcp)
         g_part = g_c - jnp.einsum('cipk,pk->ci', Y, g_p)

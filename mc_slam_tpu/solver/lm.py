@@ -124,6 +124,39 @@ def build_landmark_system(obs: Observations, free_mask, Nc, DC, Np, DP):
     return Hcc, g_c, Hpp, g_p, Wcp, cost
 
 
+def batched_inv_small(H):
+    """Closed-form inverse for batched 1x1/2x2/3x3 SPD blocks.
+
+    jnp.linalg.inv lowers to a LAPACK-style custom call that costs ~1.6 ms for
+    2048 3x3 blocks on v5e; the adjugate form is pure VPU elementwise."""
+    d = H.shape[-1]
+    if d == 1:
+        return 1.0 / H
+    if d == 2:
+        a, b = H[..., 0, 0], H[..., 0, 1]
+        c, e = H[..., 1, 0], H[..., 1, 1]
+        det = a * e - b * c
+        inv_det = 1.0 / det
+        return jnp.stack([
+            jnp.stack([e, -b], -1),
+            jnp.stack([-c, a], -1)], -2) * inv_det[..., None, None]
+    if d == 3:
+        a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+        d2, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+        g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+        A = e * i - f * h
+        B = f * g - d2 * i
+        C = d2 * h - e * g
+        det = a * A + b * B + c * C
+        inv_det = 1.0 / det
+        adj = jnp.stack([
+            jnp.stack([A, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, c * d2 - a * f], -1),
+            jnp.stack([C, b * g - a * h, a * e - b * d2], -1)], -2)
+        return adj * inv_det[..., None, None]
+    return jnp.linalg.inv(H)
+
+
 def schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     """Damped Schur solve. Returns (dxc (Nc,DC), dxp (Np,DP)).
 
@@ -136,7 +169,7 @@ def schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     eyep = jnp.eye(DP, dtype=dtype)
     diag_p = Hpp * eyep
     Hpp_d = Hpp + lam * diag_p + 1e-8 * eyep
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = batched_inv_small(Hpp_d)
 
     Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)           # (Nc,DC,Np,DP)
     # reduced camera system
