@@ -1,0 +1,132 @@
+"""Anchored inverse-depth VI window BA — LocalBAPRVIDP parity.
+
+The reference's flagship back-end optimizer (Optimizer::LocalBAPRVIDP,
+src/Optimizer.cpp:32): landmarks are 1-D inverse depths anchored to the pixel
+ray of their reference keyframe (VertexIDP + EdgePRIDP, 4-vertex edges:
+idp/anchor-PR/observer-PR/extrinsic). Here the extrinsic stays fixed (as the
+reference effectively does via its huge prior) and each observation carries two
+15-D camera blocks (anchor + observer) plus a 1-D landmark block — the generic
+Schur engine (lm.build_landmark_system with K=2, DP=1) handles the rest.
+
+Versus the XYZ form (`ba_vi.vi_ba`), inverse depth parameterizes distant points
+better and shrinks the landmark system 3x.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mc_slam_tpu import lie
+from mc_slam_tpu.camera import Camera
+from mc_slam_tpu.imu.navstate import NavState
+from mc_slam_tpu.solver import factors, lm
+from mc_slam_tpu.solver.ba import CHI2_MONO
+from mc_slam_tpu.solver.ba_vi import (DC, IMUEdges, _imu_edge_factors,
+                                      retract_states)
+
+
+class IDPObs(NamedTuple):
+    """Padded anchored-inverse-depth observation table."""
+    anchor: jnp.ndarray     # (O,) int32 anchor keyframe (local index)
+    obs_kf: jnp.ndarray     # (O,) int32 observing keyframe (local index)
+    pt: jnp.ndarray         # (O,) int32 landmark index (into rho)
+    uv0: jnp.ndarray        # (O, 2) anchor-frame ideal pixel of the landmark
+    uv: jnp.ndarray         # (O, 2) observed ideal pixel
+    inv_sigma2: jnp.ndarray  # (O,)
+    valid: jnp.ndarray      # (O,)
+
+
+def _embed15(J6, cols=slice(0, 6)):
+    pad = jnp.zeros(J6.shape[:-1] + (9,), J6.dtype)
+    return jnp.concatenate([J6, pad], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
+              ext: factors.Extrinsics, gw, free_cam, pt_mask, iters: int = 10,
+              huber_delta2: float = CHI2_MONO, lam0: float = 1e-4):
+    """Windowed VI BA over NavStates + anchored inverse depths.
+
+    ns0: (Nc,...) NavStates; rho0 (Np,) inverse depths; obs references local
+    keyframe indices. Returns (ns, rho, chi2 (O,), cost).
+    """
+    Nc = ns0.P.shape[0]
+    Np = rho0.shape[0]
+    DP = 1
+
+    def per_obs(ns, rho):
+        return factors.reproj_idp(
+            camera, ext, rho[obs.pt], obs.uv0,
+            ns.P[obs.anchor], ns.R[obs.anchor],
+            ns.P[obs.obs_kf], ns.R[obs.obs_kf], obs.uv)
+
+    def cost_fn(x):
+        ns, rho = x
+        r, _, _, _, z = per_obs(ns, rho)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        chi2 = jnp.where(z > 1e-6, chi2, 4.0 * huber_delta2)
+        c = jnp.sum(obs.valid * lm.huber_cost(chi2, huber_delta2))
+        prv, bias = _imu_edge_factors(ns, edges, gw)
+        c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
+        c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
+        return c
+
+    def linearize_solve(x, lam):
+        ns, rho = x
+        r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        w = obs.inv_sigma2 * lm.huber_weight(chi2, huber_delta2) * obs.valid \
+            * (z > 1e-6)
+        o = lm.Observations(
+            cam=jnp.stack([obs.anchor, obs.obs_kf], axis=-1),
+            pt=obs.pt,
+            Jc=jnp.stack([_embed15(J_pr0), _embed15(J_pri)], axis=1),
+            Jp=J_rho, r=r, w=w)
+        Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(
+            o, free_cam, Nc, DC, Np, DP)
+        H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
+        g = jnp.zeros((Nc, DC), r.dtype)
+        prv, bias = _imu_edge_factors(ns, edges, gw)
+        H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), prv, free_cam)
+        H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), bias, free_cam)
+        dxc, dxp = lm.schur_solve(Hcc + H, g_c + g, Hpp, g_p, Wcp, lam,
+                                  free_cam, pt_mask)
+        return dxc, dxp[:, 0]
+
+    def retract(x, dx):
+        ns, rho = x
+        dxc, drho = dx
+        # the reference clamps inverse depth at 1e-6 (VertexIDP, g2otypes.h:40)
+        return retract_states(ns, dxc), jnp.maximum(rho + drho, 1e-6)
+
+    (ns, rho), cost, _ = lm.lm_optimize(
+        (ns0, rho0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+    ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
+    r, _, _, _, z = per_obs(ns, rho)
+    chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+    chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
+    return ns, rho, chi2, cost
+
+
+def xyz_to_idp(pts_w, anchor_P, anchor_R, anchor_uv_ideal, cam: Camera,
+               ext: factors.Extrinsics):
+    """Convert world landmarks to anchored inverse depth w.r.t. their anchor
+    keyframe camera: rho = 1/depth along the anchor ray."""
+    RwbT = jnp.swapaxes(anchor_R, -1, -2)
+    Pb = (RwbT @ (pts_w - anchor_P)[..., None])[..., 0]
+    Pc = (ext.Rcb @ Pb[..., None])[..., 0] + ext.tcb
+    return 1.0 / jnp.maximum(Pc[..., 2], 1e-6)
+
+
+def idp_to_xyz(rho, uv0, anchor_P, anchor_R, cam: Camera, ext: factors.Extrinsics):
+    """Anchored inverse depth back to world coordinates."""
+    d = 1.0 / jnp.maximum(rho, 1e-6)
+    xn = jnp.stack([(uv0[..., 0] - cam.cx) / cam.fx,
+                    (uv0[..., 1] - cam.cy) / cam.fy], -1)
+    Pc = jnp.concatenate([xn * d[..., None], d[..., None]], axis=-1)
+    Rbc = jnp.swapaxes(ext.Rcb, -1, -2)
+    Pb = (Rbc @ (Pc - ext.tcb)[..., None])[..., 0]
+    return (anchor_R @ Pb[..., None])[..., 0] + anchor_P
