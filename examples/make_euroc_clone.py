@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Generate a full-scale synthetic EuRoC clone (ASL folder) for end-to-end
+validation: 752x480 distorted frames at 20 fps, 200 Hz IMU with EuRoC noise
+densities (src/IMU/imudata.cpp:25-37) and non-zero biases, ground truth CSV.
+
+The trajectory closes on itself (loop-closure opportunity) and the camera is
+mounted with the real EuRoC Tbc. Run the result through examples/run_euroc.py:
+
+  python examples/make_euroc_clone.py --out /tmp/clone --duration 120
+  python examples/run_euroc.py /tmp/clone/mav0 \
+      --gt /tmp/clone/mav0/state_groundtruth_estimate0/data.csv
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# the reference's EuRoC Tbc (config/euroc.yaml:40-44)
+TBC = np.array([
+    [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+    [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+    [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+    [0.0, 0.0, 0.0, 1.0]])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/euroc_clone")
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--fps", type=float, default=20.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tex-size", type=int, default=1024)
+    ap.add_argument("--bg", type=float, nargs=3, default=[0.003, -0.0045, 0.0035],
+                    help="true gyro bias [rad/s]")
+    ap.add_argument("--ba", type=float, nargs=3, default=[0.035, -0.02, 0.06],
+                    help="true accel bias [m/s^2]")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mc_slam_tpu.camera import euroc_camera
+    from mc_slam_tpu.sim import MavTrajectory, RoomWorld
+    from mc_slam_tpu.sim.euroc_writer import EurocWriter
+
+    rng = np.random.default_rng(args.seed)
+    cam = euroc_camera()
+    world = RoomWorld(rng, tex_size=args.tex_size)
+    traj = MavTrajectory(duration=args.duration)
+    writer = EurocWriter(args.out)
+    bg = np.asarray(args.bg)
+    ba = np.asarray(args.ba)
+
+    Rbc = TBC[:3, :3]
+    pbc = TBC[:3, 3]
+
+    n_frames = int(args.duration * args.fps)
+    fdt = 1.0 / args.fps
+    t_off = 100.0  # EuRoC-style large absolute timestamps
+    t0 = time.time()
+    for i in range(n_frames):
+        t = i * fdt
+        P_wb, R_wb = traj.pose(t)
+        R_wc = R_wb @ Rbc
+        C_w = P_wb + R_wb @ pbc
+        img = world.render(cam, R_wc, C_w)
+        writer.add_image(t + t_off, img)
+        writer.add_gt(t + t_off, P_wb, R_wb, traj.velocity(t), bg, ba)
+        if i % 200 == 0:
+            el = time.time() - t0
+            print(f"frame {i}/{n_frames}  ({el:.0f}s elapsed)", file=sys.stderr)
+    # IMU over the whole span (EuRoC noise densities, src/IMU/imudata.cpp)
+    rows = traj.imu_samples(0.0, n_frames * fdt, rate=200.0, bg=bg, ba=ba,
+                            noise_g=1.7e-4, noise_a=2e-3, rng=rng)
+    tt = t_off + np.arange(len(rows)) / 200.0
+    for k in range(len(rows)):
+        writer.add_imu(tt[k], rows[k, 0:3], rows[k, 3:6])
+    gt_path = writer.finish()
+    print(f"wrote {n_frames} frames + {len(rows)} IMU rows to {args.out}")
+    print(f"gt: {gt_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,33 +40,59 @@ def hamming_matrix_popcount(desc_a, desc_b):
 
 
 def rotation_consistency_mask(angle_a, angle_b, match_b_for_a, matched_mask,
-                              keep_bins=3):
+                              keep_bins=3, coverage=0.9):
     """30-bin relative-rotation histogram filter (ORBmatcher::ComputeThreeMaxima,
     src/ORBmatcher.cpp:1813-1850): keep matches whose angle difference falls in
-    the `keep_bins` most-populated bins."""
+    the most-populated bins, dropping even a top bin whose count falls below
+    0.1x the maximum (the reference's max2 < 0.1*max1 cutoff).
+
+    Bin selection generalizes the reference's fixed top-3 with one widening:
+    beyond the top `keep_bins`, further bins are kept while the cumulative mass
+    of better bins is below `coverage` (still subject to the 0.1*max bar). On
+    real imagery ORB angles are repeatable, the histogram concentrates >90% in
+    ~3 bins, and this reduces to the reference's rule; on texture where the IC
+    angle is noisy (isotropic blobs) the reference would throw away the entire
+    good-match tail, while the coverage rule widens just enough."""
     db = angle_a - angle_b[match_b_for_a]
     two_pi = 2.0 * jnp.pi
     db = jnp.mod(db, two_pi)
     bins = jnp.clip((db * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
     hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(matched_mask.astype(jnp.int32))
-    _, top_idx = jax.lax.top_k(hist, keep_bins)
-    in_top = jnp.zeros(HISTO_BINS, jnp.bool_).at[top_idx].set(True)
-    return matched_mask & in_top[bins]
+    n_total = jnp.maximum(jnp.sum(hist), 1)
+    order = jnp.argsort(-hist)                      # bins by population, desc
+    hsort = hist[order]
+    csum = jnp.cumsum(hsort)
+    # rank r is kept if the mass of strictly-better bins is < coverage target
+    rank_kept = (jnp.concatenate([jnp.zeros(1, csum.dtype), csum[:-1]])
+                 < coverage * n_total)
+    rank_kept = rank_kept | (jnp.arange(HISTO_BINS) < keep_bins)
+    # the 0.1*max1 cutoff (ComputeThreeMaxima, src/ORBmatcher.cpp:1813-1850)
+    rank_kept = rank_kept & (hsort.astype(jnp.float32)
+                             >= 0.1 * hsort[0].astype(jnp.float32))
+    keep_bin = jnp.zeros(HISTO_BINS, jnp.bool_).at[order].set(
+        rank_kept & (hsort > 0))
+    return matched_mask & keep_bin[bins]
 
 
-def match_nn(dist, mask, max_dist=TH_LOW, ratio=None):
+def match_nn(dist, mask, max_dist=TH_LOW, ratio=None, ratio_mask=None):
     """Mutual-free nearest-neighbor match from a masked distance matrix.
 
     dist: (Na, Nb) int32; mask: (Na, Nb) bool candidate gate.
     Returns (idx_b (Na,) int32, best_dist (Na,), ok (Na,) bool).
     ratio: optional best < ratio * second_best test (reference mfNNratio).
+    ratio_mask: optional wider gate over which the second-best is taken. When a
+    geometric gate (epipolar/window) prunes candidates, the ratio test must
+    still measure DESCRIPTOR ambiguity over all plausible candidates —
+    otherwise pruning the true second-best lets geometrically-consistent wrong
+    matches pass the ratio test (self-similar texture failure mode).
     """
     d = jnp.where(mask, dist, BIG)
     idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
     ok = best <= max_dist
     if ratio is not None:
-        d2 = d.at[jnp.arange(d.shape[0]), idx].set(BIG)
+        dr = jnp.where(ratio_mask, dist, BIG) if ratio_mask is not None else d
+        d2 = dr.at[jnp.arange(d.shape[0]), idx].set(BIG)
         second = jnp.min(d2, axis=1)
         ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     return idx, best, ok
@@ -106,12 +132,16 @@ def _pallas_eligible(M, N):
 
 def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
                          feat_uv, feat_level, feat_pm1, feat_valid,
-                         radius_px, max_dist=TH_HIGH, ratio=0.9):
+                         radius_px, max_dist=TH_HIGH, ratio=0.9,
+                         proj_angle=None, feat_angle=None):
     """Project-and-match: map points (projected to proj_uv) vs frame features.
 
     Mirrors ORBmatcher::SearchByProjection (map-points variant, ORBmatcher.h:38-61):
     windowed candidate gate by predicted position and scale level, Hamming NN with
-    ratio test, per-feature dedup.
+    ratio test, per-feature dedup. When both `proj_angle` (anchoring-observation
+    angle per map point) and `feat_angle` are given, the reference's 30-bin
+    rotation-consistency filter (src/ORBmatcher.cpp:325-332) runs as a post-match
+    histogram prune.
 
     On TPU this runs the fused Pallas kernel (match_pallas.hamming_top2_windowed,
     ~36x faster than the materialized-matrix XLA path); elsewhere the XLA path.
@@ -133,29 +163,40 @@ def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
         gate = gate & proj_valid[:, None] & feat_valid[None, :]
         idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
     ok = resolve_duplicates(idx, best, ok, feat_uv.shape[0])
+    if proj_angle is not None and feat_angle is not None:
+        ok = rotation_consistency_mask(proj_angle, feat_angle, idx, ok)
     return idx, best, ok
 
 
 def search_for_initialization(f0_uv, f0_pm1, f0_valid, f1_uv, f1_pm1, f1_valid,
-                              radius=100.0, max_dist=TH_LOW, ratio=0.9):
+                              radius=100.0, max_dist=TH_LOW, ratio=0.9,
+                              f0_angle=None, f1_angle=None):
     """Frame-frame matching for monocular 2-view bootstrap
     (ORBmatcher::SearchForInitialization, src/ORBmatcher.cpp): window around the
-    same position, low threshold, ratio test, dedup."""
+    same position, low threshold, ratio test, dedup, rotation-consistency prune
+    (the reference runs it with mbCheckOrientation=true)."""
     dist = hamming_matrix(f0_pm1, f1_pm1)
     gate = window_mask(f0_uv, f1_uv, radius)
     gate = gate & f0_valid[:, None] & f1_valid[None, :]
     idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
     ok = resolve_duplicates(idx, best, ok, f1_uv.shape[0])
+    if f0_angle is not None and f1_angle is not None:
+        ok = rotation_consistency_mask(f0_angle, f1_angle, idx, ok)
     return idx, best, ok
 
 
-def mutual_match(pm1_a, valid_a, pm1_b, valid_b, max_dist=TH_LOW, ratio=0.75):
+def mutual_match(pm1_a, valid_a, pm1_b, valid_b, max_dist=TH_LOW, ratio=0.75,
+                 angle_a=None, angle_b=None):
     """Unwindowed mutual NN matching (used where the reference uses SearchByBoW —
     the BoW node gating is a CPU pruning trick; on the MXU the full matrix is
-    cheaper than the bookkeeping)."""
+    cheaper than the bookkeeping). Optional angles enable the rotation-histogram
+    prune exactly as SearchByBoW does (src/ORBmatcher.cpp:325-332)."""
     dist = hamming_matrix(pm1_a, pm1_b)
     gate = valid_a[:, None] & valid_b[None, :]
     idx_ab, best_ab, ok_ab = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
     idx_ba = jnp.argmin(jnp.where(gate, dist, BIG).T, axis=1)
     mutual = idx_ba[idx_ab] == jnp.arange(pm1_a.shape[0])
-    return idx_ab, best_ab, ok_ab & mutual
+    ok = ok_ab & mutual
+    if angle_a is not None and angle_b is not None:
+        ok = rotation_consistency_mask(angle_a, angle_b, idx_ab, ok)
+    return idx_ab, best_ab, ok

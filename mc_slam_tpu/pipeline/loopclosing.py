@@ -84,7 +84,8 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
     has_l = (mp_l >= 0) & m.kf_feat_valid[slot_loop]
     idx, best, ok = matching.mutual_match(
         m.kf_pm1[slot_cur], has_c, m.kf_pm1[slot_loop], has_l,
-        max_dist=matching.TH_LOW, ratio=0.9)
+        max_dist=matching.TH_LOW, ratio=0.9,
+        angle_a=m.kf_angle[slot_cur], angle_b=m.kf_angle[slot_loop])
     # 3D positions in each keyframe's CAMERA frame (body==camera assumed here;
     # extrinsics cancel in the relative Sim3 up to a fixed conjugation)
     def cam_coords(slot, mp):

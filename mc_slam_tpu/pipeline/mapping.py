@@ -21,6 +21,10 @@ from mc_slam_tpu.geometry.triangulation import parallax_cos, triangulate_two_vie
 from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, observation_counts
 from mc_slam_tpu.solver import factors
 
+# epipolar pre-gate threshold on squared point-to-line distance, in units of
+# 3.84 * sigma^2(level) (CheckDistEpipolarLine, src/ORBmatcher.cpp)
+EPI_CHI2 = 36.0
+
 
 # ---------------------------------------------------------------------------
 # Map-point culling (LocalMapping::MapPointCulling, src/LocalMapping.cpp:1189):
@@ -79,15 +83,40 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     free_b = m.kf_feat_valid[kf_b] & (m.kf_mp[kf_b] < 0)
     dist = matching.hamming_matrix(m.kf_pm1[kf_a], m.kf_pm1[kf_b])
     gate = free_a[:, None] & free_b[None, :]
-    idx_b, best, ok = matching.match_nn(dist, gate, max_dist=max_dist, ratio=0.8)
-    ok = matching.resolve_duplicates(idx_b, best, ok, Fn)
 
     # normalized coords
     def norm(uv):
         return jnp.stack([(uv[..., 0] - cam.cx) / cam.fx,
                           (uv[..., 1] - cam.cy) / cam.fy], -1)
-    xn_a = norm(m.kf_uv[kf_a])
-    xn_b = norm(m.kf_uv[kf_b][idx_b])
+    xn_a_all = norm(m.kf_uv[kf_a])
+    xn_b_all = norm(m.kf_uv[kf_b])
+
+    # epipolar pre-gate (ORBmatcher::SearchForTriangulation constrains candidates
+    # to the epipolar line BEFORE descriptor matching, src/ORBmatcher.cpp
+    # CheckDistEpipolarLine): point-to-line distance in KF b under the essential
+    # matrix of the relative camera pose, thresholded at 3.84 sigma per level.
+    R_ba = jnp.swapaxes(Rwc_b, -1, -2) @ Rwc_a
+    t_ba = (jnp.swapaxes(Rwc_b, -1, -2) @ (Cwa - Cwb)[..., None])[..., 0]
+    E = lie.hat(t_ba) @ R_ba
+    xa_h = jnp.concatenate([xn_a_all, jnp.ones((Fn, 1), xn_a_all.dtype)], -1)
+    xb_h = jnp.concatenate([xn_b_all, jnp.ones((Fn, 1), xn_b_all.dtype)], -1)
+    l_b = xa_h @ E.T                                        # (Fa,3) epipolar lines
+    num = jnp.abs(l_b @ xb_h.T)                             # (Fa,Fb)
+    den = jnp.sqrt(l_b[:, 0] ** 2 + l_b[:, 1] ** 2)[:, None]
+    d_px = num / jnp.maximum(den, 1e-12) * cam.fx           # approx pixel distance
+    sig_b = 1.2 ** m.kf_level[kf_b].astype(jnp.float32)
+    gate = gate & (d_px * d_px < EPI_CHI2 * sig_b[None, :] ** 2)
+
+    # ratio over the UN-gated free set: the epipolar gate prunes candidates
+    # geometrically, but descriptor ambiguity must be judged against every
+    # free feature or epipolar-consistent wrong matches slip through
+    idx_b, best, ok = matching.match_nn(
+        dist, gate, max_dist=max_dist, ratio=0.8,
+        ratio_mask=free_a[:, None] & free_b[None, :])
+    ok = matching.resolve_duplicates(idx_b, best, ok, Fn)
+
+    xn_a = xn_a_all
+    xn_b = xn_b_all[idx_b]
     Xw, da, db = triangulate_two_view(Rwc_a, Cwa, Rwc_b, Cwb, xn_a, xn_b)
     cosp = parallax_cos(Cwa, Cwb, Xw)
     # reprojection audit (2 px at level-0, scaled by level sigma)
@@ -122,6 +151,7 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     mp_pos = m.mp_pos.at[slots].set(Xw[order], mode="drop")
     mp_desc = m.mp_desc.at[slots].set(m.kf_desc[kf_a][order], mode="drop")
     mp_pm1 = m.mp_pm1.at[slots].set(m.kf_pm1[kf_a][order], mode="drop")
+    mp_angle = m.mp_angle.at[slots].set(m.kf_angle[kf_a][order], mode="drop")
     mp_normal = m.mp_normal.at[slots].set(normal, mode="drop")
     mp_min = m.mp_min_dist.at[slots].set(min_d, mode="drop")
     mp_max = m.mp_max_dist.at[slots].set(max_d, mode="drop")
@@ -139,6 +169,7 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     kf_mp = kf_mp.at[kf_b, feat_b].set(slot_order, mode="drop")
 
     m2 = m._replace(mp_pos=mp_pos, mp_desc=mp_desc, mp_pm1=mp_pm1,
+                    mp_angle=mp_angle,
                     mp_normal=mp_normal, mp_min_dist=mp_min, mp_max_dist=mp_max,
                     mp_ref_kf=mp_ref, mp_first_kf=mp_first, mp_found=mp_found,
                     mp_visible=mp_vis, mp_active=mp_active, kf_mp=kf_mp)

@@ -29,7 +29,9 @@ from mc_slam_tpu.imu.preintegration import (IMUNoise, euroc_noise, preint_identi
 from mc_slam_tpu.frontend import bow
 from mc_slam_tpu.geometry import pnp
 from mc_slam_tpu.pipeline import loopclosing, mapping, tracking, viinit
-from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, empty_map
+from mc_slam_tpu.solver import ba_chunked, ba_vi_idp
+from mc_slam_tpu.slam_map.mapstate import (MapState, covisibility_weights,
+                                            empty_map, observation_counts)
 from mc_slam_tpu.solver import ba, ba_vi, factors
 from mc_slam_tpu.solver.ba import VisualObs
 
@@ -50,10 +52,15 @@ class SlamConfig:
     kf_min_gap: int = 3             # frames
     kf_max_gap: int = 20
     kf_ref_ratio: float = 0.8       # NeedNewKeyFrame ratio (src/Tracking.cpp:1865)
+    covis_th: int = 15              # covisibility edge weight (src/KeyFrame.cpp:668)
     max_imu_per_kf: int = 256
     vi_init_time: float = 15.0      # seconds (config/euroc.yaml:6)
     g_mag: float = 9.81
     use_imu: bool = False
+    # VI local-window BA uses the anchored inverse-depth form (the reference's
+    # production back end, LocalBAPRVIDP src/Optimizer.cpp:32); XYZ remains for
+    # visual-only, global, and depth-sensor problems
+    use_idp_ba: bool = True
     stereo_baseline: float = 0.11   # meters (EuRoC-like rig)
     cull_min_obs: int = 3           # 3 mono, 2 for depth sensors (nThObs)
     seed: int = 0
@@ -80,9 +87,12 @@ class SlamSystem:
         self.last_kf_slot = -1
         self.last_kf_frame = 0
         self.kf_slots: list[int] = []        # active slots in insertion order
+        self.free_slots: list[int] = []      # culled slots available for reuse
+        self.next_fresh_slot = 0             # high-water mark of slot allocation
         self.kf_imu_raw: dict[int, np.ndarray] = {}  # slot -> (T,7) since prev KF
 
         # per-frame state
+        self.sensor_depth = False       # becomes True in stereo/RGB-D mode
         self.init_feats: Features | None = None
         self.init_uv: jnp.ndarray | None = None
         self.last_feats: Features | None = None
@@ -98,6 +108,15 @@ class SlamSystem:
         self.imu_since_frame: list[np.ndarray] = []
         self.first_kf_time = None
         self.prior: ba_vi.PriorFactor | None = None
+        # post-relocalization bias re-estimation window (the reference's
+        # mbRelocBiasPrepare 20-frame buffer, src/Tracking.cpp:47-220,1075-1106)
+        self.reloc_buf: list | None = None
+        self.reloc_window = 20
+        # KF slots whose preintegration-from-previous spans a reloc gap: their
+        # PRV/bias edges are disabled (the raw IMU across a kidnap/dropout is
+        # not a valid constraint)
+        self.broken_chain_slots: set[int] = set()
+        self._chain_break_pending = False
 
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
 
@@ -116,6 +135,11 @@ class SlamSystem:
         self.viinit_log = None      # set to utils.metrics.VIInitLog(dir) to enable
 
     # ------------------------------------------------------------------
+    @property
+    def _bf(self):
+        """fx * baseline (the reference's mbf)."""
+        return float(self.cam.fx) * self.cfg.stereo_baseline
+
     def _undistort(self, feats: Features):
         return undistort_points(self.cam, feats.xy)
 
@@ -133,6 +157,17 @@ class SlamSystem:
                                       n_features=cfg.n_feat, n_levels=cfg.n_levels)
             uv = self._undistort(feats)
         feat_depth = self._feature_depth(feats, uv, depth, img_right)
+        # virtual right-image u coordinate (the reference's mvuRight, mbf/z):
+        # the metric-depth residual row for stereo/RGB-D BA
+        if feat_depth is not None:
+            self.sensor_depth = True
+            d = jnp.maximum(feat_depth, 1e-6)
+            self._cur_ur = jnp.where(
+                feat_depth > 1e-3,
+                uv[:, 0] - float(self.cam.fx) * self.cfg.stereo_baseline / d,
+                -1.0)
+        else:
+            self._cur_ur = None
         ok = False
         if self.state == NO_IMAGES_YET:
             if feat_depth is not None:
@@ -146,11 +181,19 @@ class SlamSystem:
             else:
                 ok = self._try_initialize(feats, uv, t)
         else:
-            with self.timers.stage("track"):
-                ok = self._track_frame(feats, uv, t)
-            if not ok and self.state == LOST:
+            if self.state == LOST:
+                # once LOST, go straight to relocalization (Track() does the
+                # same, src/Tracking.cpp:886-890) — running IMU/visual tracking
+                # from a garbage pose can "accept" on accidental inliers and
+                # corrupt the carried biases
                 with self.timers.stage("relocalize"):
                     ok = self._relocalize(feats, uv, t)
+            else:
+                with self.timers.stage("track"):
+                    ok = self._track_frame(feats, uv, t)
+                if not ok and self.state == LOST:
+                    with self.timers.stage("relocalize"):
+                        ok = self._relocalize(feats, uv, t)
             if ok and not self.localization_only and self._need_new_kf():
                 with self.timers.stage("local_mapping"):
                     slot = self._create_keyframe(feats, uv, t)
@@ -210,7 +253,8 @@ class SlamSystem:
         Xb = (Rbc @ Xc[..., None])[..., 0] + pbc
         return (R_b @ Xb[..., None])[..., 0] + P_b
 
-    def _alloc_points(self, Xw, desc, pm1, level, ref_slot, order_sel):
+    def _alloc_points(self, Xw, desc, pm1, level, ref_slot, order_sel,
+                      angle=None):
         """Write new landmarks into free map slots. order_sel: bool (F,) mask in
         feature order; returns the chosen slots (np array aligned to features)."""
         m = self.m
@@ -236,6 +280,8 @@ class SlamSystem:
             mp_min_dist=m.mp_min_dist.at[sl].set(jnp.asarray(min_d)),
             mp_max_dist=m.mp_max_dist.at[sl].set(jnp.asarray(max_d)),
             mp_ref_kf=m.mp_ref_kf.at[sl].set(ref_slot),
+            mp_angle=(m.mp_angle.at[sl].set(angle[jnp.asarray(feat_idx)])
+                      if angle is not None else m.mp_angle),
             mp_first_kf=m.mp_first_kf.at[sl].set(self.frame_id),
             mp_found=m.mp_found.at[sl].set(1.0),
             mp_visible=m.mp_visible.at[sl].set(1.0),
@@ -253,7 +299,7 @@ class SlamSystem:
         slot = self._insert_kf_raw(jnp.zeros(3), jnp.eye(3), feats, uv, t_kf=t)
         Xw = self._depth_to_world(uv, feat_depth, jnp.zeros(3), jnp.eye(3))
         self._alloc_points(Xw, feats.desc, feats.desc_pm1, feats.level, slot,
-                           good)
+                           good, angle=feats.angle)
         self.last_pose = (jnp.zeros(3), jnp.eye(3))
         self.velocity = (jnp.zeros(3), jnp.eye(3))
         self.state = OK
@@ -276,7 +322,8 @@ class SlamSystem:
         sel[order[np.isfinite(np.where(cand, d_np, np.inf)[order])]] = True
         P_b, R_b = self._kf_body_pose(slot)
         Xw = self._depth_to_world(uv, feat_depth, P_b, R_b)
-        self._alloc_points(Xw, feats.desc, feats.desc_pm1, feats.level, slot, sel)
+        self._alloc_points(Xw, feats.desc, feats.desc_pm1, feats.level, slot, sel,
+                           angle=feats.angle)
 
     # ------------------------------------------------------------------
     # Monocular initialization (Tracking::MonocularInitialization :1322)
@@ -286,7 +333,7 @@ class SlamSystem:
         f0, uv0 = self.init_feats, self.init_uv
         idx, best, ok = matching.search_for_initialization(
             uv0, f0.desc_pm1, f0.valid, uv, feats.desc_pm1, feats.valid,
-            radius=100.0, ratio=0.9)
+            radius=100.0, ratio=0.9, f0_angle=f0.angle, f1_angle=feats.angle)
         n = int(jnp.sum(ok))
         if n < cfg.min_init_matches:
             # too few matches: make this the new reference (reference resets too)
@@ -340,6 +387,7 @@ class SlamSystem:
             mp_min_dist=m.mp_min_dist.at[slots].set(jnp.asarray(min_d)),
             mp_max_dist=m.mp_max_dist.at[slots].set(jnp.asarray(max_d)),
             mp_ref_kf=m.mp_ref_kf.at[slots].set(0),
+            mp_angle=m.mp_angle.at[slots].set(f0.angle[good_idx]),
             mp_first_kf=m.mp_first_kf.at[slots].set(0),
             mp_found=m.mp_found.at[slots].set(2.0),
             mp_visible=m.mp_visible.at[slots].set(2.0),
@@ -367,12 +415,52 @@ class SlamSystem:
         P_b = P_c - (R_b @ pbc[..., None])[..., 0]
         return P_b, R_b
 
+    def _alloc_kf_slot(self):
+        """Slot allocation with recycling (VERDICT round-1 item 9): culled
+        slots are reused; at hard capacity the most redundant old active KF is
+        evicted (the reference's map is unbounded, src/KeyFrame.cpp; a fixed
+        padded table needs an eviction policy instead of an assert)."""
+        if self.free_slots:
+            return self.free_slots.pop(0)
+        if self.next_fresh_slot < self.cfg.max_kf:
+            slot = self.next_fresh_slot
+            self.next_fresh_slot += 1
+            return slot
+        # capacity exhausted: evict — prefer the most redundant old KF,
+        # protecting KF0 (gauge) and the recent local window
+        prot = set(self.kf_slots[-max(2, self.cfg.local_window):]) | {self.kf_slots[0]}
+        cand = [s2 for s2 in self.kf_slots if s2 not in prot]
+        if not cand:
+            cand = [self.kf_slots[1]]
+        red = []
+        for s2 in cand[:16]:
+            ratio, n_pts = mapping.kf_redundancy(self.m, jnp.asarray(s2))
+            red.append((float(ratio), s2))
+        victim = max(red)[1]
+        self._remove_keyframe(victim)
+        return self.free_slots.pop(0)
+
+    def _remove_keyframe(self, s2):
+        """Deactivate a KF and recycle its slot (SetBadFlag bookkeeping)."""
+        self._splice_imu_chain(s2)
+        # re-anchor map points referencing the removed KF to its successor
+        act = self.kf_slots
+        i = act.index(s2)
+        heir = act[i + 1] if i + 1 < len(act) else act[i - 1]
+        ref = self.m.mp_ref_kf
+        self.m = self.m._replace(
+            mp_ref_kf=jnp.where(ref == s2, heir, ref))
+        self.m = mapping.deactivate_keyframe(self.m, jnp.asarray(s2))
+        self.kf_slots.remove(s2)
+        self.kf_imu_raw.pop(s2, None)
+        self.broken_chain_slots.discard(s2)
+        self.free_slots.append(s2)
+
     def _insert_kf_raw(self, P_pose, R_pose, feats, uv, t_kf, cam_frame=False):
-        """Write a keyframe into the next free slot. Returns slot index."""
+        """Write a keyframe into a free slot. Returns slot index."""
         if cam_frame:
             P_pose, R_pose = self._cam_to_body(P_pose, R_pose)
-        slot = self.n_kf
-        assert slot < self.cfg.max_kf, "keyframe capacity exceeded"
+        slot = self._alloc_kf_slot()
         m = self.m
         ns = m.kf_ns
         if self.cfg.use_imu and self.imu_since_kf:
@@ -402,11 +490,18 @@ class SlamSystem:
             kf_active=m.kf_active.at[slot].set(True),
             kf_uv=m.kf_uv.at[slot].set(uv),
             kf_level=m.kf_level.at[slot].set(feats.level),
+            kf_angle=m.kf_angle.at[slot].set(feats.angle),
+            kf_ur=m.kf_ur.at[slot].set(
+                self._cur_ur if getattr(self, "_cur_ur", None) is not None
+                else jnp.full(self.m.F, -1.0)),
             kf_desc=m.kf_desc.at[slot].set(feats.desc),
             kf_pm1=m.kf_pm1.at[slot].set(feats.desc_pm1),
             kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
         )
         self.n_kf += 1
+        if self._chain_break_pending:
+            self.broken_chain_slots.add(slot)
+            self._chain_break_pending = False
         self.kf_slots.append(slot)
         self.last_kf_slot = slot
         self.last_kf_frame = self.frame_id
@@ -420,6 +515,8 @@ class SlamSystem:
     # Per-frame tracking
     # ------------------------------------------------------------------
     def _track_frame(self, feats, uv, t):
+        if self.vi_inited and self.reloc_buf is not None:
+            return self._track_frame_reloc_window(feats, uv, t)
         if self.vi_inited:
             return self._track_frame_vi(feats, uv, t)
         # pre-VI-init, per-frame IMU windows are unused (re-seeded at init time)
@@ -430,13 +527,15 @@ class SlamSystem:
         P0 = P_last + (R_last @ dP[..., None])[..., 0]
         R0 = R_last @ dR
         res = tracking.track_frame_visual(self.m, feats, uv, self.cam, self.ext,
-                                          P0, R0)
+                                          P0, R0, feat_ur=self._cur_ur,
+                                          bf=self._bf)
         n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
             # fallback: retry from last pose with a wide window
             res = tracking.track_frame_visual(self.m, feats, uv, self.cam,
                                               self.ext, P_last, R_last,
-                                              radius_coarse=40.0)
+                                              radius_coarse=40.0,
+                                              feat_ur=self._cur_ur, bf=self._bf)
             n_in = int(res.n_inliers)
             if n_in < cfg.min_track_inliers:
                 self.state = LOST
@@ -473,7 +572,10 @@ class SlamSystem:
                 valid=jnp.asarray(1.0, jnp.float32))
         ns2, feat_mp, n_m, n_in, H_marg = tracking.track_frame_vi(
             self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
-            pre, self.gw, self.prior)
+            pre, self.gw, self.prior,
+            sigma_bg=float(self.noise.sigma_bg),
+            sigma_ba=float(self.noise.sigma_ba),
+            feat_ur=self._cur_ur, bf=self._bf)
         n_in = int(n_in)
         if n_in < 20:
             # IMU prediction missed the match window (bad gravity/bias or fast
@@ -512,16 +614,127 @@ class SlamSystem:
         self.state = OK
         return True
 
+    def _track_frame_reloc_window(self, feats, uv, t):
+        """Visual tracking while the post-reloc bias window fills (the
+        reference tracks without IMU while mbRelocBiasPrepare is set)."""
+        cfg = self.cfg
+        rows = (np.concatenate(self.imu_since_frame, 0)
+                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        self.imu_since_frame = []
+        P_last, R_last = self.last_pose
+        dP, dR = self.velocity
+        P0 = P_last + (R_last @ dP[..., None])[..., 0]
+        R0 = R_last @ dR
+        res = tracking.track_frame_visual(self.m, feats, uv, self.cam, self.ext,
+                                          P0, R0, feat_ur=self._cur_ur,
+                                          bf=self._bf)
+        n_in = int(res.n_inliers)
+        if n_in < cfg.min_track_inliers:
+            res = tracking.track_frame_visual(self.m, feats, uv, self.cam,
+                                              self.ext, P_last, R_last,
+                                              radius_coarse=40.0,
+                                              feat_ur=self._cur_ur, bf=self._bf)
+            n_in = int(res.n_inliers)
+            if n_in < cfg.min_track_inliers:
+                self.state = LOST
+                self.reloc_buf = None      # window aborted; re-relocalize
+                return False
+        RlT = jnp.swapaxes(R_last, -1, -2)
+        self.velocity = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
+        self.last_pose = (res.P, res.R)
+        self._cur_feat_mp = res.feat_mp
+        self._cur_inliers = n_in
+        self.state = OK
+        self.reloc_buf.append(dict(
+            t=t, P=np.asarray(res.P), R=np.asarray(res.R),
+            feat_mp=np.asarray(res.feat_mp),
+            uv=np.asarray(uv), level=np.asarray(feats.level),
+            valid=np.asarray(feats.valid), imu=rows))
+        if len(self.reloc_buf) >= self.reloc_window:
+            self._recompute_bias_from_window()
+            self.reloc_buf = None
+        return True
+
+    def _recompute_bias_from_window(self):
+        """Re-solve biases + NavState over the buffered post-reloc frames
+        (Tracking::RecomputeIMUBiasAndCurrentNavstate, src/Tracking.cpp:47-220)
+        as multi-frame fixed-point VI optimization: every frame pose is free,
+        chained by IMU PRV + bias-RW edges against the (fixed) map."""
+        buf = self.reloc_buf
+        N = len(buf)
+        cfg = self.cfg
+        L = cfg.max_imu_per_kf
+        bg0 = self.last_ns.bg_full
+        ba0 = self.last_ns.ba_full
+        # preintegrate each inter-frame IMU batch at the stale bias
+        raw = np.zeros((N - 1, L, 7), np.float32)
+        for i in range(1, N):
+            r = buf[i]["imu"][-L:]
+            raw[i - 1, :len(r)] = r
+        pre = jax.vmap(lambda rr: preintegrate(rr, bg0, ba0, self.noise))(
+            jnp.asarray(raw))
+        # initial NavStates from the visual poses; V by forward differences
+        P = np.stack([b["P"] for b in buf])
+        R = np.stack([b["R"] for b in buf])
+        ts = np.asarray([b["t"] for b in buf])
+        V = np.zeros_like(P)
+        V[:-1] = (P[1:] - P[:-1]) / np.maximum(
+            (ts[1:] - ts[:-1])[:, None], 1e-3)
+        V[-1] = V[-2]
+        z3 = np.zeros((N, 3), np.float32)
+        ns0 = NavState(P=jnp.asarray(P), R=jnp.asarray(R), V=jnp.asarray(V),
+                       bg=jnp.broadcast_to(bg0, (N, 3)),
+                       ba=jnp.broadcast_to(ba0, (N, 3)),
+                       dbg=jnp.asarray(z3), dba=jnp.asarray(z3))
+        edges = ba_vi.IMUEdges(
+            i=jnp.arange(0, N - 1, dtype=jnp.int32),
+            j=jnp.arange(1, N, dtype=jnp.int32),
+            pre=pre, info_prv=factors.imu_prv_info(pre),
+            info_bias=factors.bias_rw_info(pre.dT, float(self.noise.sigma_bg),
+                                           float(self.noise.sigma_ba)),
+            valid=jnp.ones(N - 1, jnp.float32))
+        Fn = self.m.F
+        mp = np.stack([b["feat_mp"] for b in buf]).reshape(-1)
+        lvl = np.stack([b["level"] for b in buf]).reshape(-1)
+        fv = np.stack([b["valid"] for b in buf]).reshape(-1)
+        obs = VisualObs(
+            cam=jnp.repeat(jnp.arange(N, dtype=jnp.int32), Fn),
+            pt=jnp.asarray(np.clip(mp, 0, self.m.P - 1), jnp.int32),
+            uv=jnp.asarray(np.stack([b["uv"] for b in buf]).reshape(-1, 2),
+                           jnp.float32),
+            inv_sigma2=jnp.asarray(
+                1.0 / (1.2 ** (2.0 * lvl.astype(np.float32))), jnp.float32),
+            valid=jnp.asarray(((mp >= 0) & fv).astype(np.float32)))
+        free = jnp.ones(N, jnp.float32)
+        ns2, _, chi2, cost = ba_vi.vi_ba(
+            ns0, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
+            free, self.m.mp_active.astype(jnp.float32), prior=None,
+            iters=10, fix_points=True)
+        nsl = jax.tree_util.tree_map(lambda a: a[-1], ns2)
+        if bool(jnp.all(jnp.isfinite(nsl.P)) & jnp.all(jnp.isfinite(nsl.V))):
+            self.last_ns = nsl
+            self.last_pose = (nsl.P, nsl.R)
+            self.prior = None
+
     def _need_new_kf(self):
         cfg = self.cfg
+        if self.reloc_buf is not None:
+            return False
         since = self.frame_id - self.last_kf_frame
         if since < cfg.kf_min_gap:
             return False
         if since >= cfg.kf_max_gap:
             return True
-        # ratio of current inliers vs reference-KF tracked points
-        ref_tracked = int(jnp.sum((self.m.kf_mp[self.last_kf_slot] >= 0)))
-        return self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
+        # ratio of current inliers vs reference-KF WELL-OBSERVED points
+        # (TrackedMapPoints(nMinObs=3), src/Tracking.cpp:1893 — counting every
+        # association makes the ratio rule fire per-frame and flood the map)
+        mp_ref = self.m.kf_mp[self.last_kf_slot]
+        obs_n = observation_counts(self.m)
+        min_obs = 2 if len(self.kf_slots) <= 2 else 3
+        well = (mp_ref >= 0) & (obs_n[jnp.clip(mp_ref, 0, self.m.P - 1)] >= min_obs)
+        ref_tracked = int(jnp.sum(well))
+        return (self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
+                and self._cur_inliers > 15)
 
     def _create_keyframe(self, feats, uv, t):
         P, R = self.last_pose
@@ -535,11 +748,30 @@ class SlamSystem:
     # Local mapping (synchronous, per new KF)
     # ------------------------------------------------------------------
     def _covisible(self, slot, n):
+        """Top-n covisible keyframes with weight >= covis_th (the reference's
+        UpdateConnections threshold 15, src/KeyFrame.cpp:668; falls back to the
+        single best neighbor when nothing clears the bar, as the reference
+        keeps the max-weight edge regardless)."""
         w = np.array(covisibility_weights(self.m, slot))
         w[slot] = 0
         w = w * np.asarray(self.m.kf_active)
         order = np.argsort(-w)
-        return [int(k) for k in order[:n] if w[k] >= 5]
+        out = [int(k) for k in order[:n] if w[k] >= self.cfg.covis_th]
+        if not out and w[order[0]] > 0:
+            # nothing clears the bar: keep the single max-weight edge, as the
+            # reference does in UpdateConnections (src/KeyFrame.cpp:690-696)
+            out = [int(order[0])]
+        return out
+
+    def _covisible_strong(self, slot, n):
+        """Covisible neighbors that clear covis_th — no max-weight fallback.
+        Used where a weakly-connected neighbor would do harm (e.g. as the only
+        gauge-fixing observer of a local BA window)."""
+        w = np.array(covisibility_weights(self.m, slot))
+        w[slot] = 0
+        w = w * np.asarray(self.m.kf_active)
+        order = np.argsort(-w)
+        return [int(k) for k in order[:n] if w[k] >= self.cfg.covis_th]
 
     def _local_mapping(self):
         cfg = self.cfg
@@ -592,19 +824,26 @@ class SlamSystem:
         obs = VisualObs(
             cam=cam_idx, pt=jnp.clip(mp, 0, self.m.P - 1), uv=uv,
             inv_sigma2=1.0 / (1.2 ** (2.0 * lvl.astype(jnp.float32))),
-            valid=valid.astype(jnp.float32))
+            valid=valid.astype(jnp.float32),
+            ur=(self.m.kf_ur[ks].reshape(-1) if self.sensor_depth else None))
         return obs
 
     def _local_ba(self, force_all=False, prune=True):
         cfg = self.cfg
         if force_all:
             window = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+            if len(window) > 40:
+                # large map: landmark-chunked Schur at padded shapes (dense
+                # Wcp would be O(Nc*DC*Np*DP) — GBA must stay O(map))
+                return self._global_ba_chunked(window, prune=prune)
             fixed = []
             pad_to = None                  # rare call; compile per size is fine
         else:
             window = self._ba_window_slots()
-            # fixed observers: covisible KFs not in the window
-            fixed = [s for s in self._covisible(self.last_kf_slot, cfg.ba_window + 6)
+            # fixed observers: covisible KFs not in the window (strong edges
+            # only — a weight-1 observer must not serve as the gauge anchor)
+            fixed = [s for s in
+                     self._covisible_strong(self.last_kf_slot, cfg.ba_window + 6)
                      if s not in window][:4]
             pad_to = max(cfg.ba_window, cfg.local_window) + 4  # ONE jit shape
         if len(window) < 2:
@@ -630,9 +869,17 @@ class SlamSystem:
         if self.vi_inited:
             ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
             edges = self._imu_edges(all_slots, len(window))
-            ns2, pts2, chi2, cost = ba_vi.vi_ba(
-                ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
-                jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=8)
+            if cfg.use_idp_ba and not self.sensor_depth and not force_all:
+                # flagship VI back end: anchored inverse-depth window BA
+                # (LocalBAPRVIDP parity; DP=1 shrinks the landmark system 3x)
+                ns2, pts2, chi2, idp_valid = self._vi_idp_ba(
+                    ks, ns_w, edges, obs, jnp.asarray(free))
+                obs = obs._replace(valid=idp_valid)  # anchor rows are not prunable
+            else:
+                ns2, pts2, chi2, cost = ba_vi.vi_ba(
+                    ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
+                    jnp.asarray(free), self.m.mp_active.astype(jnp.float32),
+                    iters=8, bf=self._bf)
             self.m = self.m._replace(
                 kf_ns=jax.tree_util.tree_map(
                     lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
@@ -642,7 +889,8 @@ class SlamSystem:
             R0 = self.m.kf_ns.R[ks]
             P2, R2, pts2, chi2, cost = ba.visual_ba(
                 P0, R0, self.m.mp_pos, obs, self.cam, self.ext,
-                jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=10)
+                jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=10,
+                bf=self._bf)
             ns = self.m.kf_ns
             self.m = self.m._replace(
                 kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
@@ -653,8 +901,105 @@ class SlamSystem:
         if prune:
             self._prune_obs(all_slots, obs, chi2)
 
+    def _global_ba_chunked(self, window, prune=True, kf_pad=32, chunk=1024):
+        """Whole-map BA via ba_chunked (GlobalBundleAdjustment[NavStatePRV],
+        src/Optimizer.cpp:3346/:629) — used beyond ~40 keyframes where the
+        dense landmark system stops fitting the memory/compile budget."""
+        n_real = len(window)
+        pad_n = int(np.ceil(n_real / kf_pad)) * kf_pad
+        all_slots = window + [window[-1]] * (pad_n - n_real)
+        ks = jnp.asarray(all_slots, jnp.int32)
+        obs = self._gather_obs(window, all_slots[n_real:])
+        ov = np.array(obs.valid).reshape(pad_n, -1)
+        ov[n_real:] = 0.0
+        obs = obs._replace(valid=jnp.asarray(ov.reshape(-1)))
+        free = np.zeros(pad_n, np.float32)
+        free[1:n_real] = 1.0               # gauge: oldest KF fixed
+        n_chunks = max(1, self.m.P // chunk)
+        cobs, C = ba_chunked.chunk_observations(
+            np.asarray(obs.cam), np.asarray(obs.pt), np.asarray(obs.uv),
+            np.asarray(obs.inv_sigma2), np.asarray(obs.valid), self.m.P,
+            n_chunks, ur=None if obs.ur is None else np.asarray(obs.ur))
+        pt_mask = self.m.mp_active.astype(jnp.float32)
+        if self.vi_inited:
+            ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
+            edges = self._imu_edges(all_slots, n_real)
+            ns2, pts2, cost = ba_chunked.vi_gba_chunked(
+                ns_w, self.m.mp_pos, cobs, edges, self.cam, self.ext, self.gw,
+                jnp.asarray(free), pt_mask, iters=8, bf=self._bf)
+            self.m = self.m._replace(
+                kf_ns=jax.tree_util.tree_map(
+                    lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
+                mp_pos=pts2)
+        else:
+            P0 = self.m.kf_ns.P[ks]
+            R0 = self.m.kf_ns.R[ks]
+            P2, R2, pts2, cost = ba_chunked.visual_gba_chunked(
+                P0, R0, self.m.mp_pos, cobs, self.cam, self.ext,
+                jnp.asarray(free), pt_mask, iters=10, bf=self._bf)
+            ns = self.m.kf_ns
+            self.m = self.m._replace(
+                kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
+                mp_pos=pts2)
+        if prune:
+            # per-obs chi2 in one flat pass (no Schur structures involved)
+            ns = self.m.kf_ns
+            P_o = ns.P[ks][obs.cam]
+            R_o = ns.R[ks][obs.cam]
+            r, _, _, z = factors.reproj_xyz(self.cam, self.ext, P_o, R_o,
+                                            self.m.mp_pos[obs.pt], obs.uv)
+            chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+            chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
+            self._prune_obs(all_slots, obs, chi2)
+
+    def _vi_idp_ba(self, ks, ns_w, edges, obs, free):
+        """Anchored inverse-depth VI window BA (Optimizer::LocalBAPRVIDP,
+        src/Optimizer.cpp:32-630) on the solver in ba_vi_idp.
+
+        Each observed landmark is re-anchored to its first (lowest local index)
+        observing keyframe in this problem; its state becomes the 1-D inverse
+        depth along that anchor ray. Points without an in-problem anchor (or
+        seen only by their anchor) keep their world position. Returns
+        (ns, mp_pos, chi2, idp_valid) with chi2/idp_valid aligned to `obs`.
+        """
+        n = int(ks.shape[0])
+        P = self.m.P
+        BIGI = jnp.int32(2 ** 30)
+        cam_idx = obs.cam                      # (n*F,) local kf index
+        mp = obs.pt                            # (n*F,) landmark slot (clipped)
+        ov = obs.valid > 0
+        # anchor: first observing local kf per point
+        anchor_loc = jnp.full((P,), BIGI).at[mp].min(
+            jnp.where(ov, cam_idx, BIGI), mode="drop")
+        has_anchor = anchor_loc < n
+        anchor_cl = jnp.clip(anchor_loc, 0, n - 1)
+        is_anchor_obs = ov & (cam_idx == anchor_cl[mp]) & has_anchor[mp]
+        # exactly one anchoring obs per point -> plain scatter is race-free
+        uv0 = jnp.zeros((P, 2), obs.uv.dtype).at[
+            jnp.where(is_anchor_obs, mp, P)].set(obs.uv, mode="drop")
+        rho0 = ba_vi_idp.xyz_to_idp(
+            self.m.mp_pos, ns_w.P[anchor_cl], ns_w.R[anchor_cl], uv0,
+            self.cam, self.ext)
+        idp_valid = (ov & ~is_anchor_obs & has_anchor[mp]).astype(jnp.float32)
+        idp_obs = ba_vi_idp.IDPObs(
+            anchor=anchor_cl[mp], obs_kf=cam_idx, pt=mp,
+            uv0=uv0[mp], uv=obs.uv, inv_sigma2=obs.inv_sigma2,
+            valid=idp_valid)
+        # a rho is free only if some non-anchor observation constrains it
+        rho_free = (jnp.zeros((P,), jnp.float32).at[mp].max(idp_valid, mode="drop")
+                    * self.m.mp_active)
+        ns2, rho, chi2, cost = ba_vi_idp.vi_ba_idp(
+            ns_w, rho0, idp_obs, edges, self.cam, self.ext, self.gw,
+            free, rho_free, iters=8)
+        Xw = ba_vi_idp.idp_to_xyz(rho, uv0, ns2.P[anchor_cl], ns2.R[anchor_cl],
+                                  self.cam, self.ext)
+        mp_pos = jnp.where((rho_free > 0)[:, None], Xw, self.m.mp_pos)
+        return ns2, mp_pos, chi2, idp_valid
+
     def _prune_obs(self, slots, obs, chi2):
-        bad = (chi2 > ba.CHI2_MONO * 1.5) & (obs.valid > 0)
+        gate = ba.CHI2_MONO if obs.ur is None else \
+            np.where(np.asarray(obs.ur) >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
+        bad = (np.asarray(chi2) > gate * 1.5) & (np.asarray(obs.valid) > 0)
         Fn = self.m.F
         bad = np.asarray(bad).reshape(len(slots), Fn)
         kf_mp = np.array(self.m.kf_mp)
@@ -674,25 +1019,41 @@ class SlamSystem:
         info_prv = factors.imu_prv_info(pre)
         info_bias = factors.bias_rw_info(pre.dT, float(self.noise.sigma_bg),
                                          float(self.noise.sigma_ba))
+        ev = [0.0 if all_slots[b] in self.broken_chain_slots else 1.0
+              for b in idx_j]
         return ba_vi.IMUEdges(
             i=jnp.asarray(idx_i, jnp.int32), j=jnp.asarray(idx_j, jnp.int32),
             pre=pre, info_prv=info_prv, info_bias=info_bias,
-            valid=jnp.ones(len(idx_i), jnp.float32))
+            valid=jnp.asarray(ev, jnp.float32))
 
     def _cull_keyframes(self):
-        """90% redundancy rule with VI time-gap guards (src/LocalMapping.cpp:1777)."""
+        """90% redundancy rule with VI time-gap guards (src/LocalMapping.cpp:1777):
+        never cull within 0.11 s of the current KF; gap(next, prev) must stay
+        under 0.51 s, relaxed to 3.01 s for VI-inited KFs older than 4 s; the
+        local-window front and its predecessor are protected."""
         active = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        t_cur = float(self.m.kf_time[self.last_kf_slot])
+        protected = set()
+        if self.cfg.use_imu and len(active) > self.cfg.local_window:
+            wfront = len(active) - self.cfg.local_window
+            protected = {active[wfront], active[wfront - 1]}
         for i, s in enumerate(active[1:-1], start=1):
+            if s in protected:
+                continue
             if self.cfg.use_imu:
                 t_prev = float(self.m.kf_time[active[i - 1]])
                 t_next = float(self.m.kf_time[active[i + 1]])
-                if t_next - t_prev > 0.5:
+                t_s = float(self.m.kf_time[s])
+                if t_s >= t_cur - 0.11:
+                    continue
+                timegap = 0.51
+                if self.vi_inited and t_s < t_cur - 4.0:
+                    timegap = 3.01
+                if t_next - t_prev > timegap:
                     continue
             ratio, n_pts = mapping.kf_redundancy(self.m, jnp.asarray(s))
             if float(ratio) > 0.9 and int(n_pts) > 20:
-                self._splice_imu_chain(s)
-                self.m = mapping.deactivate_keyframe(self.m, jnp.asarray(s))
-                self.kf_slots.remove(s)
+                self._remove_keyframe(s)
 
     def _splice_imu_chain(self, slot):
         """On KF removal, merge its raw IMU into the next KF and re-preintegrate
@@ -740,7 +1101,8 @@ class SlamSystem:
             has = (mp_k >= 0) & self.m.kf_feat_valid[k]
             idx, best, okm = matching_mod.mutual_match(
                 feats.desc_pm1, feats.valid, self.m.kf_pm1[k], has,
-                max_dist=matching_mod.TH_LOW, ratio=0.85)
+                max_dist=matching_mod.TH_LOW, ratio=0.85,
+                angle_a=feats.angle, angle_b=self.m.kf_angle[k])
             if int(jnp.sum(okm)) < 15:
                 continue
             Xw = self.m.mp_pos[jnp.clip(mp_k[idx], 0, self.m.P - 1)]
@@ -763,11 +1125,17 @@ class SlamSystem:
                 self._cur_feat_mp = tr.feat_mp
                 self._cur_inliers = int(tr.n_inliers)
                 if self.vi_inited:
-                    # re-seat the NavState at the relocalized pose; biases kept
-                    # (full bias re-estimation window is the reference's
-                    # mbRelocBiasPrepare path — future refinement)
-                    self.last_ns = self.last_ns._replace(P=tr.P, R=tr.R)
+                    # re-seat the NavState and open the 20-frame bias window
+                    # (Relocalization sets mbRelocBiasPrepare,
+                    # src/Tracking.cpp:2388; biases re-solved after 20 frames
+                    # by RecomputeIMUBiasAndCurrentNavstate :47-220)
+                    self.last_ns = self.last_ns._replace(
+                        P=tr.P, R=tr.R, V=jnp.zeros(3))
                     self.prior = None
+                    self.reloc_buf = []
+                    self.imu_since_frame = []
+                    self.imu_since_kf = []
+                    self._chain_break_pending = True
                 self.state = OK
                 return True
         return False

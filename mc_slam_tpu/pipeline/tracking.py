@@ -61,10 +61,14 @@ def predict_level(m: MapState, P, dist_scale=1.2, n_levels=8):
 @partial(jax.jit, static_argnames=("iters",))
 def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
                        ext: factors.Extrinsics, P0, R0, radius_coarse=15.0,
-                       radius_fine=4.0, iters: int = 20, inv_sigma2=None):
+                       radius_fine=4.0, iters: int = 20, inv_sigma2=None,
+                       feat_ur=None, bf=0.0):
     """Two-round project→match→optimize against the active map.
 
-    uv_ideal: (F,2) undistorted feature pixels. Returns TrackResult.
+    uv_ideal: (F,2) undistorted feature pixels. feat_ur: optional (F,) observed
+    virtual-right u per feature (stereo/RGB-D; <0 = no depth) — adds the
+    u_right residual row to pose optimization (bf = fx * baseline).
+    Returns TrackResult.
     """
     Fn = feats.valid.shape[0]
     if inv_sigma2 is None:
@@ -75,7 +79,8 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
         lvl = predict_level(m, P)
         mp_idx, dist, ok = matching.search_by_projection(
             proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
-            feats.valid, radius_px=radius)
+            feats.valid, radius_px=radius,
+            proj_angle=m.mp_angle, feat_angle=feats.angle)
         # per-feature association: invert (map-point -> feature) to (feature -> mp)
         feat_mp = jnp.full((Fn,), -1, jnp.int32)
         src = jnp.arange(m.P, dtype=jnp.int32)
@@ -88,10 +93,13 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
             pt=jnp.clip(feat_mp, 0, m.P - 1),
             uv=uv_ideal,
             inv_sigma2=inv_sigma2,
-            valid=matched.astype(jnp.float32))
+            valid=matched.astype(jnp.float32),
+            ur=feat_ur)
         Pn, Rn, chi2, n_in = ba.pose_only_visual(P, R, m.mp_pos, obs, cam, ext,
-                                                 iters=lam_iters)
-        inlier = matched & (chi2 <= ba.CHI2_MONO)
+                                                 iters=lam_iters, bf=bf)
+        gate = ba.CHI2_MONO if feat_ur is None else \
+            jnp.where(feat_ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
+        inlier = matched & (chi2 <= gate)
         return Pn, Rn, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in
 
     P1, R1, fmp1, nm1, ni1 = one_round(P0, R0, radius_coarse, iters)
@@ -103,21 +111,25 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
 def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
                    ext: factors.Extrinsics, ns_cur0, ns_last, pre_last_cur,
                    gw, prior_last: ba_vi.PriorFactor, radius_coarse=15.0,
-                   radius_fine=4.0, iters: int = 20):
+                   radius_fine=4.0, iters: int = 20,
+                   sigma_bg=2e-5, sigma_ba=5e-3, feat_ur=None, bf=0.0):
     """VI tracking: IMU-predicted pose, projection search, joint (last,cur)
     optimization with IMU + prior factors, marginal extraction
-    (TrackWithIMU + TrackLocalMapWithIMU, src/Tracking.cpp:224-412)."""
+    (TrackWithIMU + TrackLocalMapWithIMU, src/Tracking.cpp:224-412).
+    sigma_bg/sigma_ba: the system's configured bias random-walk densities
+    (IMUNoise; EuRoC defaults per src/IMU/imudata.cpp:25-37)."""
     Fn = feats.valid.shape[0]
     inv_sigma2 = 1.0 / (1.2 ** (2.0 * feats.level.astype(jnp.float32)))
     info_prv = factors.imu_prv_info(pre_last_cur)
-    info_bias = factors.bias_rw_info(pre_last_cur.dT, 2e-5, 5e-3)
+    info_bias = factors.bias_rw_info(pre_last_cur.dT, sigma_bg, sigma_ba)
 
     def search(P, R, radius):
         proj_uv, z, vis = project_map_points(m, cam, ext, P, R)
         lvl = predict_level(m, P)
         mp_idx, dist, ok = matching.search_by_projection(
             proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
-            feats.valid, radius_px=radius)
+            feats.valid, radius_px=radius,
+            proj_angle=m.mp_angle, feat_angle=feats.angle)
         feat_mp = jnp.full((Fn,), -1, jnp.int32)
         src = jnp.arange(m.P, dtype=jnp.int32)
         # scatter only accepted matches (not-ok entries target an out-of-range
@@ -127,15 +139,18 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
         return VisualObs(cam=jnp.zeros(Fn, jnp.int32),
                          pt=jnp.clip(feat_mp, 0, m.P - 1), uv=uv_ideal,
                          inv_sigma2=inv_sigma2,
-                         valid=matched.astype(jnp.float32)), feat_mp, matched
+                         valid=matched.astype(jnp.float32),
+                         ur=feat_ur), feat_mp, matched
 
     obs1, _, _ = search(ns_cur0.P, ns_cur0.R, radius_coarse)
     ns1, chi2_1, nin1, _ = ba_vi.pose_only_vi(
         ns_cur0, ns_last, pre_last_cur, m.mp_pos, obs1, cam, ext, gw,
-        prior_last, info_prv, info_bias, iters=iters, compute_marg=False)
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=False, bf=bf)
     obs2, feat_mp, matched = search(ns1.P, ns1.R, radius_fine)
     ns2, chi2, n_in, H_marg = ba_vi.pose_only_vi(
         ns1, ns_last, pre_last_cur, m.mp_pos, obs2, cam, ext, gw,
-        prior_last, info_prv, info_bias, iters=iters, compute_marg=True)
-    inlier = matched & (chi2 <= ba.CHI2_MONO)
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=True, bf=bf)
+    gate = ba.CHI2_MONO if feat_ur is None else \
+        jnp.where(feat_ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
+    inlier = matched & (chi2 <= gate)
     return ns2, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in, H_marg

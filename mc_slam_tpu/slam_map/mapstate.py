@@ -37,6 +37,8 @@ class MapState(NamedTuple):
     # --- per-keyframe features (observation table) ---
     kf_uv: jnp.ndarray       # (K, F, 2) undistorted pixels
     kf_level: jnp.ndarray    # (K, F) int32
+    kf_angle: jnp.ndarray    # (K, F) float32 IC angle (rad)
+    kf_ur: jnp.ndarray       # (K, F) right-image u (stereo/RGB-D); -1 = mono
     kf_desc: jnp.ndarray     # (K, F, 8) uint32
     kf_pm1: jnp.ndarray      # (K, F, 256) int8
     kf_feat_valid: jnp.ndarray  # (K, F) bool
@@ -51,6 +53,7 @@ class MapState(NamedTuple):
     mp_min_dist: jnp.ndarray  # (P,) scale-invariance range
     mp_max_dist: jnp.ndarray  # (P,)
     mp_ref_kf: jnp.ndarray   # (P,) int32 reference keyframe slot
+    mp_angle: jnp.ndarray    # (P,) float32 IC angle of the anchoring observation
     mp_found: jnp.ndarray    # (P,) float32 found counter
     mp_visible: jnp.ndarray  # (P,) float32 visible counter
     mp_first_kf: jnp.ndarray  # (P,) int32 id of creating KF (culling rule)
@@ -79,6 +82,8 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapSt
         kf_active=jnp.zeros(K, bool),
         kf_uv=jnp.zeros((K, F, 2), dtype),
         kf_level=jnp.zeros((K, F), jnp.int32),
+        kf_angle=jnp.zeros((K, F), dtype),
+        kf_ur=jnp.full((K, F), -1.0, dtype),
         kf_desc=jnp.zeros((K, F, 8), jnp.uint32),
         kf_pm1=jnp.zeros((K, F, 256), jnp.int8),
         kf_feat_valid=jnp.zeros((K, F), bool),
@@ -91,6 +96,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapSt
         mp_min_dist=jnp.zeros(P, dtype),
         mp_max_dist=jnp.zeros(P, dtype),
         mp_ref_kf=jnp.zeros(P, jnp.int32),
+        mp_angle=jnp.zeros(P, dtype),
         mp_found=jnp.zeros(P, dtype),
         mp_visible=jnp.zeros(P, dtype),
         mp_first_kf=jnp.zeros(P, jnp.int32),

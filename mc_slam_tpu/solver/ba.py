@@ -20,16 +20,33 @@ from mc_slam_tpu import lie
 from mc_slam_tpu.camera import Camera
 from mc_slam_tpu.solver import factors, lm
 
-CHI2_MONO = 5.991  # 95% quantile of chi2(2), reference's mono gate
+CHI2_MONO = 5.991    # 95% quantile of chi2(2), reference's mono gate
+CHI2_STEREO = 7.815  # 95% quantile of chi2(3), reference's stereo gate
 
 
 class VisualObs(NamedTuple):
-    """Padded monocular observation table for BA."""
+    """Padded observation table for BA (mono rows, optional stereo third row)."""
     cam: jnp.ndarray    # (O,) int32 camera index
     pt: jnp.ndarray     # (O,) int32 point index
     uv: jnp.ndarray     # (O, 2) ideal (undistorted) pixels
     inv_sigma2: jnp.ndarray  # (O,) per-level information scale (1/1.2^(2*level))
     valid: jnp.ndarray  # (O,) {0,1}
+    # observed virtual right-image u (the reference's mvuRight, mbf/z form);
+    # None => purely monocular problem (2-row residuals); entries < 0 =>
+    # monocular observation inside a mixed table (third row masked)
+    ur: jnp.ndarray | None = None
+
+
+def obs_reproj(cam: Camera, ext, P_wb, R_wb, Pw, obs: VisualObs, bf=0.0):
+    """Dispatch mono 2-row / mixed 3-row reprojection for an observation batch.
+    Returns (r, J_pr, J_pt, z, delta2) with delta2 the per-obs huber knee."""
+    if obs.ur is None:
+        r, J_pr, J_pt, z = factors.reproj_xyz(cam, ext, P_wb, R_wb, Pw, obs.uv)
+        return r, J_pr, J_pt, z, CHI2_MONO
+    r, J_pr, J_pt, z = factors.reproj_xyz3(cam, ext, P_wb, R_wb, Pw, obs.uv,
+                                           obs.ur, bf)
+    delta2 = jnp.where(obs.ur >= 0, CHI2_STEREO, CHI2_MONO)
+    return r, J_pr, J_pt, z, delta2
 
 
 class VisualBAConfig(NamedTuple):
@@ -62,23 +79,27 @@ def _robust_cost(r, z, inv_sigma2, valid, delta2):
 @partial(jax.jit, static_argnames=("iters",))
 def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
                      ext: factors.Extrinsics, iters: int = 40,
-                     huber_delta2: float = CHI2_MONO):
+                     huber_delta2: float = CHI2_MONO, bf=0.0):
     """Optimize a single body pose against fixed world points.
 
     P0 (3,), R0 (3,3); pts_w (Np,3) fixed. obs.cam is ignored (single pose).
-    Returns (P, R, chi2 (O,), n_inlier).
+    When obs.ur is set, stereo/RGB-D observations add the u_right residual row
+    (bf = fx * baseline). Returns (P, R, chi2 (O,), n_inlier).
     """
     pts_o = pts_w[obs.pt]
 
+    def per_obs(P, R):
+        return obs_reproj(camera, ext, P, R, pts_o, obs, bf)
+
     def cost_fn(x):
         P, R = x
-        r, _, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
-        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, _, _, z, d2 = per_obs(P, R)
+        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, d2)
 
     def linearize_solve(x, lam):
         P, R = x
-        r, J_pr, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, J_pr, _, z, d2 = per_obs(P, R)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
         H = jnp.einsum('o,orc,ord->cd', w, J_pr, J_pr)
         g = jnp.einsum('o,orc,or->c', w, J_pr, r)
         H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-10)
@@ -90,9 +111,9 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
         return (P + dx[:3], R @ lie.so3_exp(dx[3:6]))
 
     (P, R), cost, _ = lm.lm_optimize((P0, R0), linearize_solve, retract, cost_fn, iters)
-    r, _, _, z = factors.reproj_xyz(camera, ext, P, R, pts_o, obs.uv)
+    r, _, _, z, d2 = per_obs(P, R)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
-    inlier = (chi2 <= huber_delta2) & (z > 0) & (obs.valid > 0)
+    inlier = (chi2 <= d2) & (z > 0) & (obs.valid > 0)
     return P, lie.so3_normalize_fast(R), chi2, jnp.sum(inlier)
 
 
@@ -103,26 +124,27 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
 @partial(jax.jit, static_argnames=("iters",))
 def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
               free_cam, pt_mask, iters: int = 10, huber_delta2: float = CHI2_MONO,
-              lam0: float = 1e-4):
+              lam0: float = 1e-4, bf=0.0):
     """Joint camera + landmark BA.
 
     P0 (Nc,3), R0 (Nc,3,3), pts0 (Np,3). free_cam (Nc,) float {0,1}; pt_mask (Np,).
-    Returns (P, R, pts, chi2 (O,), final_cost).
+    When obs.ur is set, stereo/RGB-D rows constrain metric scale (bf = fx *
+    baseline). Returns (P, R, pts, chi2 (O,), final_cost).
     """
     Nc, Np = P0.shape[0], pts0.shape[0]
     DC, DP = 6, 3
 
     def per_obs(x):
         P, R, pts = x
-        return factors.reproj_xyz(camera, ext, P[obs.cam], R[obs.cam], pts[obs.pt], obs.uv)
+        return obs_reproj(camera, ext, P[obs.cam], R[obs.cam], pts[obs.pt], obs, bf)
 
     def cost_fn(x):
-        r, _, _, z = per_obs(x)
-        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, _, _, z, d2 = per_obs(x)
+        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, d2)
 
     def linearize_solve(x, lam):
-        r, J_pr, J_pt, z = per_obs(x)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, J_pr, J_pt, z, d2 = per_obs(x)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
         o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
                             Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
         Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(o, free_cam, Nc, DC, Np, DP)
@@ -137,7 +159,7 @@ def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrins
     (P, R, pts), cost, _ = lm.lm_optimize(
         (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
     R = lie.so3_normalize_fast(R)
-    r, _, _, z = per_obs((P, R, pts))
+    r, _, _, z, _ = per_obs((P, R, pts))
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
     return P, R, pts, chi2, cost

@@ -26,7 +26,8 @@ from mc_slam_tpu.camera import Camera
 from mc_slam_tpu.imu.navstate import NavState
 from mc_slam_tpu.imu.preintegration import PreintState
 from mc_slam_tpu.solver import factors, lm
-from mc_slam_tpu.solver.ba import CHI2_MONO, VisualObs, _obs_weights, _robust_cost
+from mc_slam_tpu.solver.ba import (CHI2_MONO, VisualObs, _obs_weights,
+                                   _robust_cost, obs_reproj)
 
 DC = 15
 
@@ -105,10 +106,10 @@ def _prior_factor(ns: NavState, prior: PriorFactor):
 
 
 def _vi_total_cost(ns: NavState, pts, obs: VisualObs, edges: IMUEdges,
-                   prior, camera, ext, gw, huber_delta2):
-    r, _, _, z = factors.reproj_xyz(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
-                                    pts[obs.pt], obs.uv)
-    c = _robust_cost(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+                   prior, camera, ext, gw, huber_delta2, bf=0.0):
+    r, _, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                                pts[obs.pt], obs, bf)
+    c = _robust_cost(r, z, obs.inv_sigma2, obs.valid, d2)
     prv, bias = _imu_edge_factors(ns, edges, gw)
     c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
     c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
@@ -137,7 +138,8 @@ def _build_H_cam(ns, pts, obs, edges, prior, camera, ext, gw, free_mask, huber_d
 def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
           ext: factors.Extrinsics, gw, free_cam, pt_mask,
           prior: PriorFactor | None = None, iters: int = 10,
-          huber_delta2: float = CHI2_MONO, lam0: float = 1e-4, fix_points: bool = False):
+          huber_delta2: float = CHI2_MONO, lam0: float = 1e-4,
+          fix_points: bool = False, bf=0.0):
     """Windowed/global VI bundle adjustment over NavStates + XYZ landmarks.
 
     ns0: NavState with (Nc,…) arrays (window KFs + fixed neighbors/observers).
@@ -151,13 +153,14 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
 
     def cost_fn(x):
         ns, pts = x
-        return _vi_total_cost(ns, pts, obs, edges, prior, camera, ext, gw, huber_delta2)
+        return _vi_total_cost(ns, pts, obs, edges, prior, camera, ext, gw,
+                              huber_delta2, bf)
 
     def linearize_solve(x, lam):
         ns, pts = x
-        r, J_pr, J_pt, z = factors.reproj_xyz(
-            camera, ext, ns.P[obs.cam], ns.R[obs.cam], pts[obs.pt], obs.uv)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, J_pr, J_pt, z, d2 = obs_reproj(
+            camera, ext, ns.P[obs.cam], ns.R[obs.cam], pts[obs.pt], obs, bf)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
         o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
                             Jc=_reproj_cam_jac_embed(J_pr)[:, None], Jp=J_pt, r=r, w=w)
         Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(o, free_cam, Nc, DC, Np, DP)
@@ -179,8 +182,8 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
     (ns, pts), cost, _ = lm.lm_optimize(
         (ns0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
-    r, _, _, z = factors.reproj_xyz(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
-                                    pts[obs.pt], obs.uv)
+    r, _, _, z, _ = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                               pts[obs.pt], obs, bf)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
     return ns, pts, chi2, cost
@@ -191,7 +194,7 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
                  pts_w, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
                  gw, prior_last: PriorFactor, info_prv, info_bias,
                  iters: int = 40, huber_delta2: float = CHI2_MONO,
-                 compute_marg: bool = True):
+                 compute_marg: bool = True, bf=0.0):
     """Tracking-time VI pose optimization of (last, current) frame pair.
 
     Mirrors Optimizer::PoseOptimization (src/Optimizer.cpp:1671-2041): both frames
@@ -213,12 +216,12 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
 
     def cost_fn(ns):
         return _vi_total_cost(ns, pts_w, obs, edges, prior_last, camera, ext, gw,
-                              huber_delta2)
+                              huber_delta2, bf)
 
     def build(ns, lam=None):
-        r, J_pr, _, z = factors.reproj_xyz(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
-                                           pts_o, obs.uv)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, huber_delta2)
+        r, J_pr, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                                       pts_o, obs, bf)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
         wJ = _reproj_cam_jac_embed(J_pr) * w[:, None, None]
         H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
         g = jnp.zeros((Nc, DC), r.dtype)
@@ -239,10 +242,10 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
     ns, cost, _ = lm.lm_optimize(ns0, linearize_solve, retract_states, cost_fn, iters)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
 
-    r, _, _, z = factors.reproj_xyz(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
-                                    pts_o, obs.uv)
+    r, _, _, z, d2_f = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                                  pts_o, obs, bf)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
-    inlier = (chi2 <= huber_delta2) & (z > 0) & (obs.valid > 0)
+    inlier = (chi2 <= d2_f) & (z > 0) & (obs.valid > 0)
 
     if compute_marg:
         # marginal information of the current frame: Schur out the last frame

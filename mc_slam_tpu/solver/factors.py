@@ -70,6 +70,38 @@ def reproj_xyz(cam: Camera, ext: Extrinsics, P_wb, R_wb, Pw, uv):
     return r, J_pr, J_pt, z
 
 
+def reproj_xyz3(cam: Camera, ext: Extrinsics, P_wb, R_wb, Pw, uv, ur, bf):
+    """3-row stereo/RGB-D reprojection factor (g2o::EdgeStereoSE3ProjectXYZ
+    parity, ref src/Optimizer.cpp:3110-3180): residual rows [u, v, u_right]
+    with the virtual right-image coordinate u_right = u - bf/z (bf = fx *
+    baseline, the reference's mbf).
+
+    ur (...,): observed u_right; entries < 0 mark monocular observations whose
+    third residual row and Jacobian row are zeroed, so one padded table serves
+    mixed mono/stereo problems. Returns r (...,3), J_pr (...,3,6),
+    J_pt (...,3,3), z (...,).
+    """
+    RwbT = jnp.swapaxes(R_wb, -1, -2)
+    Pb = (RwbT @ (Pw - P_wb)[..., None])[..., 0]
+    Pc = (ext.Rcb @ Pb[..., None])[..., 0] + ext.tcb
+    uv_hat, z = _project_ideal(cam, Pc)
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9 * jnp.ones_like(z), z)
+    is_st = (ur >= 0).astype(uv_hat.dtype)
+    r_ur = is_st * (uv_hat[..., 0] - bf / z_safe - ur)
+    r = jnp.concatenate([uv_hat - uv, r_ur[..., None]], axis=-1)
+    Jpi = project_jacobian(cam, Pc)                    # (...,2,3)
+    # d(u_right)/dPc = du/dPc + [0, 0, bf/z^2]
+    zero = jnp.zeros_like(z)
+    row3 = Jpi[..., 0, :] + jnp.stack([zero, zero, bf / (z_safe * z_safe)], -1)
+    Jpi3 = jnp.concatenate([Jpi, (is_st[..., None] * row3)[..., None, :]], axis=-2)
+    RcbRwbT = ext.Rcb @ RwbT
+    J_P = -RcbRwbT
+    J_phi = ext.Rcb @ lie.hat(Pb)
+    J_pr = jnp.concatenate([Jpi3 @ J_P, Jpi3 @ J_phi], axis=-1)  # (...,3,6)
+    J_pt = Jpi3 @ RcbRwbT
+    return r, J_pr, J_pt, z
+
+
 def _project_ideal(cam: Camera, Pc):
     z = Pc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9 * jnp.ones_like(z), z)

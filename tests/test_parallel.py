@@ -63,3 +63,49 @@ def test_dist_with_cam_factors(rng):
                                         Nc, DC, Np, DP)
     np.testing.assert_allclose(np.asarray(dxc), np.asarray(dxc_ref), atol=3e-4)
     np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxp_ref), atol=3e-4)
+
+
+def test_dist_posegraph_matches_single(rng):
+    """Edge-sharded Sim3 pose-graph LM equals the single-device optimizer on
+    the drift-loop problem (VERDICT round-1 item 6; CPU 8-device mesh)."""
+    from mc_slam_tpu import lie
+    from mc_slam_tpu.solver import posegraph
+    from mc_slam_tpu.parallel import dist_posegraph
+
+    K = 12
+    angles = np.linspace(0, 2 * np.pi * (K - 1) / K, K)
+    P_gt = np.stack([np.cos(angles), np.sin(angles), np.zeros(K)], 1).astype(np.float32)
+    R_gt = np.stack([np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a], jnp.float32)))
+                     for a in angles])
+    Rcw = np.swapaxes(R_gt, 1, 2).astype(np.float32)
+    tcw = -np.einsum('kij,kj->ki', Rcw, P_gt).astype(np.float32)
+    s_gt = jnp.ones(K, jnp.float32)
+    R_v, t_v = jnp.asarray(Rcw), jnp.asarray(tcw)
+    ei = jnp.arange(0, K - 1, dtype=jnp.int32)
+    ej = jnp.arange(1, K, dtype=jnp.int32)
+    sm, Rm, tm = posegraph.edge_measurement(
+        s_gt[ei], R_v[ei], t_v[ei], s_gt[ej], R_v[ej], t_v[ej])
+    drift_R = np.stack([np.asarray(lie.so3_exp(jnp.asarray(
+        [0.0, 0.0, 0.02 * k], jnp.float32))) for k in range(K)])
+    s0 = jnp.asarray(1.0 + 0.01 * np.arange(K), jnp.float32)
+    R0 = jnp.asarray(np.einsum('kij,kjl->kil', Rcw, drift_R))
+    t0 = t_v + jnp.asarray(0.03 * rng.normal(size=(K, 3)).astype(np.float32))
+    t0 = t0.at[0].set(t_v[0])
+    sl, Rl, tl = posegraph.edge_measurement(
+        s_gt[K - 1:K], R_v[K - 1:], t_v[K - 1:], s_gt[:1], R_v[:1], t_v[:1])
+    g = posegraph.Sim3Graph(
+        s=s0, R=R0, t=t0,
+        ei=jnp.concatenate([ei, jnp.asarray([K - 1], jnp.int32)]),
+        ej=jnp.concatenate([ej, jnp.asarray([0], jnp.int32)]),
+        s_m=jnp.concatenate([sm, sl]), R_m=jnp.concatenate([Rm, Rl]),
+        t_m=jnp.concatenate([tm, tl]),
+        w=jnp.ones(K, jnp.float32), free=jnp.ones(K, jnp.float32).at[0].set(0.0))
+
+    R_ref, s_ref, t_ref, cost_ref = posegraph.optimize_pose_graph(g, iters=25)
+    mesh = dist_ba.make_mesh(8, axis="e")
+    R_d, s_d, t_d, cost_d = dist_posegraph.optimize_pose_graph_dist(
+        mesh, g, iters=25)
+    assert float(cost_d) < 1e-6, float(cost_d)
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(R_d), np.asarray(R_ref), atol=1e-3)

@@ -228,3 +228,73 @@ class TestVisualBA:
         assert np.all(np.isfinite(np.asarray(Pe)))
         assert np.all(np.isfinite(np.asarray(pe)))
         np.testing.assert_allclose(np.asarray(pe)[50:], 0.0, atol=1e-7)
+
+
+class TestStereoFactor:
+    """3-row stereo/RGB-D reprojection (factors.reproj_xyz3,
+    EdgeStereoSE3ProjectXYZ parity, ref src/Optimizer.cpp:3110-3180)."""
+
+    def test_jacobian_autodiff(self, rng):
+        bf = 400.0 * 0.11
+        P = jnp.asarray(rng.normal(size=3).astype(np.float32))
+        R = lie.so3_exp(jnp.asarray(rng.normal(size=3).astype(np.float32) * 0.3))
+        Pw = jnp.asarray([0.5, -0.3, 6.0])
+        uv = jnp.asarray([300.0, 200.0])
+        ur = jnp.asarray(295.0)
+        r, J_pr, J_pt, z = factors.reproj_xyz3(CAM, EXT, P, R, Pw, uv, ur, bf)
+        assert r.shape == (3,)
+
+        def res(dx):
+            r2, _, _, _ = factors.reproj_xyz3(
+                CAM, EXT, P + dx[:3], R @ lie.so3_exp(dx[3:6]), Pw + dx[6:9], uv, ur, bf)
+            return r2
+        J_ad = jax.jacfwd(res)(jnp.zeros(9))
+        np.testing.assert_allclose(np.asarray(J_pr), np.asarray(J_ad[:, :6]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(J_pt), np.asarray(J_ad[:, 6:9]), atol=1e-3)
+
+    def test_mono_entries_masked(self, rng):
+        bf = 400.0 * 0.11
+        P = jnp.zeros(3); R = jnp.eye(3)
+        Pw = jnp.asarray([[0.5, -0.3, 6.0], [0.1, 0.2, 5.0]])
+        uv = jnp.asarray([[300.0, 200.0], [310.0, 250.0]])
+        ur = jnp.asarray([295.0, -1.0])        # second obs is mono
+        r, J_pr, J_pt, z = factors.reproj_xyz3(CAM, EXT, P, R, Pw, uv, ur, bf)
+        assert float(jnp.abs(r[1, 2])) == 0.0
+        assert float(jnp.abs(J_pr[1, 2]).max()) == 0.0
+        assert float(jnp.abs(J_pt[1, 2]).max()) == 0.0
+        # 2-row part agrees with the mono factor
+        r2, J2_pr, J2_pt, _ = factors.reproj_xyz(CAM, EXT, P, R, Pw, uv)
+        np.testing.assert_allclose(np.asarray(r[:, :2]), np.asarray(r2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(J_pr[:, :2]), np.asarray(J2_pr), atol=1e-5)
+
+    def test_stereo_ba_fixes_scale(self, rng):
+        """VERDICT item 3 'done' gate: BA with u_right rows TIGHTENS metric
+        scale — start from a map shrunk by 0.8x and verify BA restores it,
+        while mono BA (gauge-free) cannot."""
+        baseline = 0.2
+        bf = 400.0 * baseline
+        pts, P, R, obs = synth_scene(rng, Nc=6, Np=80, noise_px=0.3)
+        # observed u_right from TRUE geometry
+        Pc = np.einsum('cij,cpj->cpi', np.swapaxes(np.asarray(R), 1, 2),
+                       pts[None, :, :] - np.asarray(P)[:, None, :])
+        ur_all = (400.0 * Pc[..., 0] / Pc[..., 2] + 320.0) - bf / Pc[..., 2]
+        ur = jnp.asarray(ur_all[np.asarray(obs.cam), np.asarray(obs.pt)].astype(np.float32))
+        obs_st = obs._replace(ur=ur)
+        # shrink the whole problem by s0 (mono-BA fixed point: zero residuals)
+        s0 = 0.8
+        P0 = jnp.asarray(P) * s0
+        pts0 = jnp.asarray(pts) * s0
+        free = jnp.ones(6, jnp.float32).at[0].set(0.0)
+        pt_mask = jnp.ones(pts.shape[0], jnp.float32)
+        P1, R1, pts1, chi2, cost = ba.visual_ba(
+            P0, jnp.asarray(R), pts0, obs_st, CAM, EXT, free, pt_mask,
+            iters=15, bf=bf)
+        # recovered inter-camera span should match truth within 2%
+        span_true = np.linalg.norm(P[-1] - P[0])
+        span_est = float(jnp.linalg.norm(P1[-1] - P1[0]))
+        assert abs(span_est / span_true - 1.0) < 0.02, span_est / span_true
+        # mono BA leaves the shrunken scale in place (sanity of the claim)
+        P1m, _, _, _, _ = ba.visual_ba(
+            P0, jnp.asarray(R), pts0, obs, CAM, EXT, free, pt_mask, iters=15)
+        span_mono = float(jnp.linalg.norm(P1m[-1] - P1m[0]))
+        assert abs(span_mono / span_true - s0) < 0.05, span_mono / span_true
