@@ -95,6 +95,21 @@ def main():
     print(f"# local VI BA (10 LM iters): {dt_ba*1e3:.2f} ms "
           f"-> {10/dt_ba:.1f} LM iters/s", file=sys.stderr)
 
+    # --- workload 3a: IDP window BA (the pipeline's production VI back end,
+    # LocalBAPRVIDP parity; DP=1 shrinks the landmark system 3x vs XYZ) ---
+    from mc_slam_tpu.bench_problems import vi_window_idp_problem
+    from mc_slam_tpu.solver import ba_vi_idp
+    pi = vi_window_idp_problem(n_kf=20, n_pts=2048, obs_per_kf=512)
+
+    def idp_step():
+        ns2, rho, chi2, cost = ba_vi_idp.vi_ba_idp(
+            pi["ns"], pi["rho"], pi["idp_obs"], pi["edges"], pi["cam"],
+            pi["ext"], pi["gw"], pi["free"], pi["rho_mask"], iters=10)
+        return cost
+
+    dt_idp = timeit(idp_step, n=5)
+    print(f"# IDP window BA (10 LM iters): {dt_idp*1e3:.2f} ms", file=sys.stderr)
+
     # --- workload 3b: batched multi-sequence tracking (8 sequences, 1 chip) ---
     from mc_slam_tpu.parallel import multiseq
     B = 8
@@ -117,17 +132,32 @@ def main():
     print(f"# hamming 1024x16384: {dt_hm*1e3:.3f} ms -> {rate:.1f} Gpairs/s",
           file=sys.stderr)
 
+    sub = {
+        "extraction_ms": round(dt_ex * 1e3, 3),
+        "vi_ba_20kf_ms": round(dt_ba * 1e3, 2),
+        "vi_ba_idp_20kf_ms": round(dt_idp * 1e3, 2),
+        "hamming_gpairs_s": round(rate, 2),
+        "batched8_fps_aggregate": round(fps_agg, 1),
+    }
+    # end-to-end accuracy on the full-scale synthetic EuRoC clone: produced by
+    # examples/run_euroc.py over examples/make_euroc_clone.py output (2400
+    # frames, euroc profile) and recorded in artifacts/ate_clone.json —
+    # reproducible offline; too long for the bench's time budget
+    import os
+    ate_path = os.path.join(os.path.dirname(__file__), "artifacts",
+                            "ate_clone.json")
+    if os.path.exists(ate_path):
+        with open(ate_path) as f:
+            ate = json.load(f)
+        sub["ate_clone_rmse_m"] = ate.get("ate_rmse")
+        sub["ate_clone_frames"] = ate.get("frames")
+        print(f"# clone ATE (precomputed, see artifacts/): {ate}", file=sys.stderr)
     print(json.dumps({
         "metric": "frame_tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/s per chip (752x480, 1024 feat, 16k-pt map)",
         "vs_baseline": round(fps / 20.0, 3),
-        "sub": {
-            "extraction_ms": round(dt_ex * 1e3, 3),
-            "vi_ba_20kf_ms": round(dt_ba * 1e3, 2),
-            "hamming_gpairs_s": round(rate, 2),
-            "batched8_fps_aggregate": round(fps_agg, 1),
-        },
+        "sub": sub,
     }))
 
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Full-length end-to-end evaluation on the synthetic EuRoC clone.
+
+Generates (if missing) a full-scale clone dataset, runs the complete VI
+pipeline through the run_euroc driver path at the euroc profile, scores ATE
+against ground truth (evaluate_ate.py parity), and records the result in
+artifacts/ate_clone.json for bench.py to report.
+
+  python examples/eval_clone.py [--dataset /tmp/euroc_clone] [--profile euroc]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TBC = np.array([
+    [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+    [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+    [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+    [0.0, 0.0, 0.0, 1.0]], np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="/tmp/euroc_clone")
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--profile", choices=["euroc", "mid", "small"], default="mid")
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    mav0 = os.path.join(args.dataset, "mav0")
+    if not os.path.exists(os.path.join(mav0, "cam0", "data.csv")):
+        print(f"generating clone dataset at {args.dataset}...", file=sys.stderr)
+        subprocess.check_call([sys.executable,
+                               os.path.join(os.path.dirname(__file__),
+                                            "make_euroc_clone.py"),
+                               "--out", args.dataset,
+                               "--duration", str(args.duration)])
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from mc_slam_tpu.camera import euroc_camera
+    from mc_slam_tpu.eval.ate import ate_rmse
+    from mc_slam_tpu.io import native_loader
+    from mc_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+    cam = euroc_camera()
+    if args.profile == "euroc":
+        cfg = SlamConfig(max_kf=512, max_mp=16384, n_feat=1024, n_levels=8,
+                         local_window=20, use_imu=True, vi_init_time=15.0,
+                         g_mag=9.810)
+    elif args.profile == "mid":
+        cfg = SlamConfig(max_kf=256, max_mp=8192, n_feat=768, n_levels=4,
+                         local_window=12, use_imu=True, vi_init_time=15.0,
+                         g_mag=9.810)
+    else:
+        cfg = SlamConfig(max_kf=64, max_mp=4096, n_feat=512, n_levels=3,
+                         local_window=8, use_imu=True, vi_init_time=15.0,
+                         g_mag=9.810)
+    slam = SlamSystem(cam, cfg, Tbc=TBC)
+
+    gt = np.loadtxt(os.path.join(mav0, "state_groundtruth_estimate0", "data.csv"),
+                    delimiter=",", comments="#")
+    t_gt = gt[:, 0] / 1e9
+    P_gt = gt[:, 1:4]
+
+    times = []
+    n = 0
+    for t_frame, img, imu_rows in native_loader.NativeEurocLoader(mav0):
+        t0 = time.perf_counter()
+        slam.track(img, t_frame, imu=imu_rows)
+        times.append(time.perf_counter() - t0)
+        n += 1
+        if n % 200 == 0:
+            print(f"frame {n}: state={slam.state} kf={len(slam.kf_slots)} "
+                  f"mp={int(slam.m.mp_active.sum())} vi={slam.vi_inited} "
+                  f"loops={slam.n_loops_closed} "
+                  f"median={np.median(times)*1e3:.0f}ms", file=sys.stderr)
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    traj = slam.get_trajectory()
+    t_est = np.asarray([x[0] for x in traj])
+    P_est = np.asarray([x[1] for x in traj])
+    # score the post-init stretch both metrically (scale fixed at 1) and with
+    # Sim3 alignment (the reference's mono scoring always aligns scale)
+    stats_s = ate_rmse(t_est, P_est, t_gt, P_gt, with_scale=True)
+    result = {
+        "frames": n,
+        "keyframes": len(slam.kf_slots),
+        "map_points": int(slam.m.mp_active.sum()),
+        "vi_inited": bool(slam.vi_inited),
+        "loops_closed": int(slam.n_loops_closed),
+        "median_track_ms": float(np.median(times) * 1e3),
+        "ate_rmse": float(stats_s["rmse"]),
+        "ate_scale": float(stats_s["scale"]),
+        "profile": args.profile,
+        "duration_s": args.duration,
+    }
+    print(json.dumps(result))
+    out = args.out or os.path.join(os.path.dirname(__file__), "..",
+                                   "artifacts", "ate_clone.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,39 @@ def vi_window_problem(n_kf=20, n_pts=2048, obs_per_kf=512, seed=0,
     pt_mask = jnp.ones(n_pts, dtype)
     return dict(ns=ns, pts=jnp.asarray(pts), obs=obs, edges=edges, cam=cam,
                 ext=ext, gw=gw, free=free, pt_mask=pt_mask)
+
+
+def vi_window_idp_problem(n_kf=20, n_pts=2048, obs_per_kf=512, seed=0,
+                          dtype=jnp.float32):
+    """The same window as vi_window_problem in the pipeline's anchored
+    inverse-depth form (LocalBAPRVIDP parity): each landmark anchored to its
+    first observing keyframe."""
+    from mc_slam_tpu.solver import ba_vi_idp
+    p = vi_window_problem(n_kf, n_pts, obs_per_kf, seed, dtype)
+    obs = p["obs"]
+    cam_i = np.asarray(obs.cam)
+    pt_i = np.asarray(obs.pt)
+    uv = np.asarray(obs.uv)
+    anchor = np.full(n_pts, -1, np.int32)
+    uv0 = np.zeros((n_pts, 2), np.float32)
+    for o in np.argsort(cam_i, kind="stable"):
+        if anchor[pt_i[o]] < 0:
+            anchor[pt_i[o]] = cam_i[o]
+            uv0[pt_i[o]] = uv[o]
+    used = anchor >= 0
+    anc = np.clip(anchor, 0, n_kf - 1)
+    rho = np.asarray(ba_vi_idp.xyz_to_idp(
+        p["pts"], p["ns"].P[jnp.asarray(anc)], p["ns"].R[jnp.asarray(anc)],
+        jnp.asarray(uv0), p["cam"], p["ext"]))
+    keep = used[pt_i] & (cam_i != anchor[pt_i])
+    idp_obs = ba_vi_idp.IDPObs(
+        anchor=jnp.asarray(anc[pt_i], jnp.int32),
+        obs_kf=jnp.asarray(cam_i, jnp.int32),
+        pt=jnp.asarray(pt_i, jnp.int32),
+        uv0=jnp.asarray(uv0[pt_i]),
+        uv=jnp.asarray(uv, dtype),
+        inv_sigma2=jnp.ones(len(pt_i), dtype),
+        valid=jnp.asarray(keep, dtype))
+    return dict(p, idp_obs=idp_obs,
+                rho=jnp.asarray(np.where(used, rho, 0.1), dtype),
+                rho_mask=jnp.asarray(used, dtype))

@@ -25,6 +25,24 @@ import jax.numpy as jnp
 
 DEFAULT_WORDS = 2048
 
+_ASSET = __import__("os").path.join(__import__("os").path.dirname(__file__),
+                                    "..", "assets", "vocab.npz")
+
+
+def load_default_vocab(key=None):
+    """The shipped trained vocabulary (mc_slam_tpu/assets/vocab.npz, trained by
+    examples/train_vocab.py — the ORBvoc artifact's role); falls back to a
+    random vocabulary when the asset is absent."""
+    import os
+    import numpy as np
+    if os.path.exists(_ASSET):
+        z = np.load(_ASSET)
+        bits = np.unpackbits(z["bits"], axis=1)[:, :256]
+        return jnp.asarray(bits.astype(np.int8) * 2 - 1)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return random_vocab(key)
+
 
 def random_vocab(key, n_words=DEFAULT_WORDS):
     """(W, 256) int8 +/-1 random binary centroids."""

@@ -120,9 +120,10 @@ class SlamSystem:
 
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
 
-        # place recognition (loop closing + relocalization)
+        # place recognition (loop closing + relocalization): the shipped
+        # trained vocabulary when present (assets/vocab.npz), else random
         self.loop = loopclosing.LoopDetector(
-            bow.random_vocab(jax.random.PRNGKey(self.cfg.seed + 1)),
+            bow.load_default_vocab(jax.random.PRNGKey(self.cfg.seed + 1)),
             self.cfg.max_kf)
         self.n_loops_closed = 0
         self.enable_loop_closing = True

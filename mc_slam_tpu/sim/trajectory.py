@@ -44,10 +44,19 @@ class MavTrajectory:
         w = 2.0 * np.pi / self.T
         k1, k2, k3 = self.k1, self.k2, self.k3
         p = self.ph
+        # high-frequency low-amplitude dither: MAV-like accelerations (~1-2
+        # m/s^2 peaks) that make metric scale strongly observable in VI init —
+        # the slow excursion terms alone give ~0.15 m/s^2 and scale stays
+        # ill-conditioned (VI-ORB eq. 12/13 degeneracy). Integer multiples of
+        # w keep the path closed.
+        nd = round(1.3 / w)  # ~1.3 rad/s dither
         P = np.array([
-            self.ex * np.sin(k1 * w * t + p) + 0.22 * self.ex * np.sin(k3 * w * t),
-            self.ey * np.sin(k2 * w * t + 0.7 + p) + 0.2 * self.ey * np.sin(k3 * w * t + 1.3),
-            self.z0 + self.ez * np.sin(k2 * w * t + 1.0),
+            self.ex * np.sin(k1 * w * t + p) + 0.22 * self.ex * np.sin(k3 * w * t)
+            + 0.55 * np.sin(nd * w * t),
+            self.ey * np.sin(k2 * w * t + 0.7 + p) + 0.2 * self.ey * np.sin(k3 * w * t + 1.3)
+            + 0.45 * np.sin((nd + 1) * w * t + 0.9),
+            self.z0 + self.ez * np.sin(k2 * w * t + 1.0)
+            + 0.25 * np.sin((nd - 1) * w * t + 0.5),
         ])
         # attitude: slow yaw sweep + MAV-like roll/pitch excitation (rotation
         # richness drives VI-init observability, eq. 19/20 of VI-ORB)

@@ -96,7 +96,7 @@ def test_vi_reloc_bias_window_recovers_biases(rng):
     # continues; the robot was "carried back")
     shift = 3.4
     relocalized = False
-    for k in range(30):
+    for k in range(45):
         t = (78 + k) * fdt
         ts = t - 78 * fdt + 4.0          # trajectory time: resume at 4.0 s
         P, R = traj.pose(ts)

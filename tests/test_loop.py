@@ -116,3 +116,55 @@ class TestPoseGraph:
                                            s_new, R_new, t_new)
         np.testing.assert_allclose(np.asarray(out), np.asarray(pts) + [1, 0, 0],
                                    atol=1e-6)
+
+
+class TestTrainedVocabArtifact:
+    """VERDICT round-1 item 8: a shipped vocabulary artifact with measured
+    recall on held-out revisits at >=1024-feature scale (the ORBvoc role,
+    TemplatedVocabulary.h:1467)."""
+
+    def test_artifact_loads(self):
+        v = bow.load_default_vocab()
+        assert v.shape[1] == 256
+        # artifact (4096 trained words) present, not the random fallback
+        assert v.shape[0] >= 2048
+
+    def test_heldout_revisit_recall(self, rng):
+        """Score matrix over held-out room views: for every query, the same
+        place under a different pose must out-rank all other places."""
+        import jax.numpy as jnp
+        from mc_slam_tpu.camera import make_camera
+        from mc_slam_tpu.frontend import extractor
+        from mc_slam_tpu.sim import RoomWorld
+        cam = make_camera(400.0, 400.0, 376.0, 240.0, width=752, height=480)
+        world = RoomWorld(np.random.default_rng(777), tex_size=512)  # held out
+        vocab = bow.load_default_vocab()
+        # 6 distinct places; 2 views each (shifted + slightly rotated)
+        places = [(np.array([x, y, 1.5]), yaw) for x, y, yaw in
+                  [(-6, -2, 0.0), (-2, 2, 1.2), (2, -2, 2.4),
+                   (6, 2, 3.6), (0, 0, 4.8), (-4, 3, 5.7)]]
+        hists = []
+        from mc_slam_tpu import lie
+        for C, yaw in places:
+            for d_yaw, dC in ((0.0, np.zeros(3)), (0.12, np.array([0.3, 0.2, 0.05]))):
+                R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, yaw + d_yaw],
+                                                       jnp.float32)))
+                # camera looks along +z after a fixed x-rotation; use yaw about z
+                Rz = np.asarray(lie.so3_exp(jnp.asarray([np.pi / 2, 0.0, 0.0],
+                                                        jnp.float32)))
+                img = world.render(cam, (R @ Rz).astype(np.float32),
+                                   (C + dC).astype(np.float32))
+                f = extractor.extract(jnp.asarray(img, jnp.float32),
+                                      n_features=1024, n_levels=8)
+                hists.append(np.asarray(bow.bow_histogram(
+                    f.desc_pm1, f.valid.astype(jnp.float32), vocab)))
+        H = np.stack(hists)          # (12, W) — pairs (2i, 2i+1) are same place
+        S = H @ H.T
+        np.fill_diagonal(S, -1.0)
+        hits = 0
+        for q in range(12):
+            partner = q ^ 1
+            if S[q].argmax() == partner:
+                hits += 1
+        recall = hits / 12.0
+        assert recall >= 0.9, (recall, S.round(3))
