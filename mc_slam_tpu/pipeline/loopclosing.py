@@ -32,16 +32,22 @@ class LoopDetector:
         self.vocab = vocab
         self.hists = np.zeros((max_kf, vocab.shape[0]), np.float32)
         self.min_consistency = min_consistency
-        self.prev_candidates: set[int] = set()
-        self.consistency = 0
+        # [(covisibility group frozenset, consistency count)] carried between
+        # keyframes (mvConsistentGroups, src/LoopClosing.cpp:174-269)
+        self.consistent_groups: list[tuple[frozenset, int]] = []
 
     def add_keyframe(self, slot, desc_pm1, valid):
         self.hists[slot] = np.asarray(bow.bow_histogram(desc_pm1, valid, self.vocab))
 
     def detect(self, m: MapState, slot, kf_slots, min_gap=10):
-        """Returns best loop candidate slot or -1. Mirrors DetectLoop: the
-        candidate must score above the minimum covisible score, be temporally
-        distant, and persist over `min_consistency` consecutive keyframes."""
+        """Returns loop candidate slots, best score first (possibly empty).
+
+        Mirrors DetectLoop (src/LoopClosing.cpp:143-269): candidates must score
+        above the minimum covisible score and be temporally distant; each
+        candidate's covisibility GROUP carries an independent consistency
+        counter across consecutive keyframes — a single best-candidate counter
+        is fragile when place-recognition scores are flat, since unrelated
+        false candidates reset the streak of the true one."""
         q = self.hists[slot]
         covis = np.array(covisibility_weights(m, jnp.asarray(slot)))
         covis[slot] = 0
@@ -49,27 +55,40 @@ class LoopDetector:
         cov_slots = [k for k in np.nonzero(covis >= 15)[0] if k != slot]
         min_score = min((float(self.hists[k] @ q) for k in cov_slots), default=0.3)
         scores = self.hists @ q
-        best, best_score = -1, -1.0
-        for k in kf_slots:
-            if k == slot or covis[k] > 0:
-                continue
-            if abs(int(m.kf_id[slot]) - int(m.kf_id[k])) < min_gap:
-                continue
-            if scores[k] >= max(min_score, 0.05) and scores[k] > best_score:
-                best, best_score = k, float(scores[k])
-        if best < 0:
-            self.prev_candidates = set()
-            self.consistency = 0
-            return -1
-        # temporal consistency: candidate (or its covisible group) seen before
-        group = {best} | {int(k) for k in np.nonzero(
-            np.array(covisibility_weights(m, jnp.asarray(best))) >= 15)[0]}
-        if self.prev_candidates & group:
-            self.consistency += 1
-        else:
-            self.consistency = 1
-        self.prev_candidates = group
-        return best if self.consistency >= self.min_consistency else -1
+        # exclusion mirrors the reference's connected-set test
+        # (GetConnectedKeyFrames, weight >= 15 per UpdateConnections): a
+        # weight-1 accidental fuse association must not veto a true revisit
+        cands = [k for k in kf_slots
+                 if k != slot and covis[k] < 15
+                 and abs(int(m.kf_id[slot]) - int(m.kf_id[k])) >= min_gap
+                 and scores[k] >= max(min_score, 0.05)]
+        if not cands:
+            self.consistent_groups = []
+            return []
+        new_groups: list[tuple[frozenset, int]] = []
+        enough: list[tuple[float, int]] = []
+        rest: list[tuple[float, int]] = []
+        for k in cands:
+            group = frozenset({k} | {int(x) for x in np.nonzero(
+                np.array(covisibility_weights(m, jnp.asarray(k))) >= 15)[0]})
+            streak = 0
+            for pg, pc in self.consistent_groups:
+                if pg & group:
+                    streak = max(streak, pc + 1)
+            new_groups.append((group, streak))
+            if streak + 1 >= self.min_consistency:
+                enough.append((float(scores[k]), k))
+            else:
+                rest.append((float(scores[k]), k))
+        self.consistent_groups = new_groups
+        enough.sort(reverse=True)
+        rest.sort(reverse=True)
+        # streak-qualified candidates first, then the best-scoring others: the
+        # reference's consistency gate exists to ration an expensive per-pair
+        # ComputeSim3 on a CPU; our Sim3 RANSAC is one batched device call, so
+        # geometric consensus (>=20 inliers) is the decisive filter and
+        # fresh high-scoring candidates still get a shot at it
+        return [k for _, k in enough] + [k for _, k in rest[:3]]
 
 
 def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,

@@ -84,6 +84,22 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     dist = matching.hamming_matrix(m.kf_pm1[kf_a], m.kf_pm1[kf_b])
     gate = free_a[:, None] & free_b[None, :]
 
+    # baseline / median-scene-depth ratio (CreateNewMapPoints,
+    # src/LocalMapping.cpp:1241: mono skips a neighbor when
+    # baseline/medianDepth < 0.01). Median depth from KF a's existing
+    # landmark associations (masked-median via sort).
+    mp_a = m.kf_mp[kf_a]
+    has_a = (mp_a >= 0) & m.kf_feat_valid[kf_a]
+    Pc_a = (jnp.swapaxes(Rwc_a, -1, -2)
+            @ (m.mp_pos[jnp.clip(mp_a, 0, m.P - 1)] - Cwa)[..., None])[..., 0]
+    z_sorted = jnp.sort(jnp.where(has_a, Pc_a[..., 2], jnp.inf))
+    n_assoc = jnp.sum(has_a)
+    med_z = jnp.where(n_assoc > 0,
+                      z_sorted[jnp.clip(n_assoc // 2, 0, Fn - 1)], 1.0)
+    baseline = jnp.linalg.norm(Cwa - Cwb)
+    bd_ratio = baseline / jnp.maximum(med_z, 1e-6)
+    enough_baseline = bd_ratio > 0.01
+
     # normalized coords
     def norm(uv):
         return jnp.stack([(uv[..., 0] - cam.cx) / cam.fx,
@@ -105,7 +121,14 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     den = jnp.sqrt(l_b[:, 0] ** 2 + l_b[:, 1] ** 2)[:, None]
     d_px = num / jnp.maximum(den, 1e-12) * cam.fx           # approx pixel distance
     sig_b = 1.2 ** m.kf_level[kf_b].astype(jnp.float32)
-    gate = gate & (d_px * d_px < EPI_CHI2 * sig_b[None, :] ** 2)
+    # the epipolar-line position error is pose-rotation error amplified by
+    # depth/baseline, so at small baselines the tight gate rejects TRUE
+    # matches and starves the map (a thin-map tracking-death spiral on
+    # rotation-dominant motion). Apply the pre-gate only where the geometry
+    # makes it informative (depth/baseline amplification <~ 12x); below that
+    # the descriptor ratio + post-hoc reprojection audit remain the filter.
+    use_epi = bd_ratio > 0.08
+    gate = gate & ((d_px * d_px < EPI_CHI2 * sig_b[None, :] ** 2) | ~use_epi)
 
     # ratio over the UN-gated free set: the epipolar gate prunes candidates
     # geometrically, but descriptor ambiguity must be judged against every
@@ -131,7 +154,7 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     sig_a = 1.2 ** (2.0 * m.kf_level[kf_a].astype(jnp.float32))
     good = ok & (da > 0.05) & (db > 0.05) & (cosp < min_parallax_cos) \
         & (e_a < 5.991 * sig_a) & (e_b < 5.991 * sig_a) \
-        & jnp.all(jnp.isfinite(Xw), -1)
+        & jnp.all(jnp.isfinite(Xw), -1) & enough_baseline
 
     # keep at most max_new, best Hamming first
     order = jnp.argsort(jnp.where(good, best, matching.BIG))[:max_new]

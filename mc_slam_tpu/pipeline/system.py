@@ -118,7 +118,14 @@ class SlamSystem:
         self.broken_chain_slots: set[int] = set()
         self._chain_break_pending = False
 
-        self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        # per-frame trajectory stored RELATIVE to the reference keyframe at
+        # track time (Tracking::mlRelativeFramePoses, src/Tracking.cpp:279 and
+        # System::SaveTrajectoryTUM): composing against the CURRENT keyframe
+        # poses at save time propagates VI-init rescaling, loop corrections,
+        # and GBA refinements to every past frame. Entries:
+        # (t, ref_slot, ref_kf_id, P_rel, R_rel, P_abs, R_abs); ref_slot < 0 or
+        # a recycled slot (kf_id mismatch) falls back to the absolute pose.
+        self.trajectory: list[tuple] = []
 
         # place recognition (loop closing + relocalization): the shipped
         # trained vocabulary when present (assets/vocab.npz), else random
@@ -210,8 +217,17 @@ class SlamSystem:
         self.last_time = t
         self.frame_id += 1
         if self.state == OK:
-            P, R = self.last_pose
-            self.trajectory.append((t, np.asarray(P), np.asarray(R)))
+            P, R = np.asarray(self.last_pose[0]), np.asarray(self.last_pose[1])
+            k = self.last_kf_slot
+            if k is not None and bool(self.m.kf_active[k]):
+                Pk = np.asarray(self.m.kf_ns.P[k])
+                Rk = np.asarray(self.m.kf_ns.R[k])
+                P_rel = Rk.T @ (P - Pk)
+                R_rel = Rk.T @ R
+                self.trajectory.append((t, k, int(self.m.kf_id[k]),
+                                        P_rel, R_rel, P, R))
+            else:
+                self.trajectory.append((t, -1, -1, None, None, P, R))
         return ok
 
     # ------------------------------------------------------------------
@@ -465,14 +481,12 @@ class SlamSystem:
         m = self.m
         ns = m.kf_ns
         if self.cfg.use_imu and self.imu_since_kf:
-            raw = np.concatenate(self.imu_since_kf, 0)[-self.cfg.max_imu_per_kf:]
+            raw = np.concatenate(self.imu_since_kf, 0)
             self.kf_imu_raw[slot] = raw
             bg = np.asarray(self.last_ns.bg_full) if self.vi_inited else np.zeros(3)
             ba_ = np.asarray(self.last_ns.ba_full) if self.vi_inited else np.zeros(3)
-            rawp = np.zeros((self.cfg.max_imu_per_kf, 7), np.float32)
-            rawp[:len(raw)] = raw
-            pre = preintegrate(jnp.asarray(rawp), jnp.asarray(bg, jnp.float32),
-                               jnp.asarray(ba_, jnp.float32), self.noise)
+            pre = self._preintegrate_raw(raw, jnp.asarray(bg, jnp.float32),
+                                         jnp.asarray(ba_, jnp.float32))
             m = m._replace(kf_preint=jax.tree_util.tree_map(
                 lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
             self.imu_since_kf = []
@@ -539,8 +553,13 @@ class SlamSystem:
                                               feat_ur=self._cur_ur, bf=self._bf)
             n_in = int(res.n_inliers)
             if n_in < cfg.min_track_inliers:
-                self.state = LOST
-                return False
+                # motion-prior-free fallback against the reference keyframe
+                # (TrackReferenceKeyFrame, src/Tracking.cpp:1524)
+                res2 = self._track_reference_kf(feats, uv)
+                if res2 is None:
+                    self.state = LOST
+                    return False
+                res, n_in = res2, int(res2.n_inliers)
         # velocity model update (src/Tracking.cpp:1123-1134)
         RlT = jnp.swapaxes(R_last, -1, -2)
         self.velocity = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
@@ -553,6 +572,24 @@ class SlamSystem:
         self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
         self.state = OK
         return True
+
+    def _preintegrate_raw(self, raw, bg, ba):
+        """Chunked preintegration of an arbitrary-length host IMU buffer:
+        chains fixed-size scans through `init`, lifting the fixed-row
+        truncation that silently shortened long keyframe gaps (culling can
+        legally open gaps up to 3 s, src/KeyFrame.cpp:195-252 ComputePreInt
+        over the full spliced span). A truncated preintegration makes the PRV
+        residual inconsistent with the state delta and the optimizer dumps the
+        mismatch into the biases."""
+        L = self.cfg.max_imu_per_kf
+        pre = None
+        n = len(raw)
+        for s in range(0, max(n, 1), L):
+            chunk = raw[s:s + L]
+            rawp = np.zeros((L, 7), np.float32)
+            rawp[:len(chunk)] = chunk
+            pre = preintegrate(jnp.asarray(rawp), bg, ba, self.noise, init=pre)
+        return pre
 
     def _track_frame_vi(self, feats, uv, t):
         """IMU-predicted tracking with the marginal prior
@@ -800,12 +837,23 @@ class SlamSystem:
             self.imu_since_frame = []  # current frame == this keyframe
 
     def _ba_window_slots(self):
-        """Window for local BA: covisible KFs (visual) or the KF chain (VI)."""
+        """Window for local BA: covisible KFs (visual) or the KF chain (VI).
+
+        The VI window never extends back across a broken IMU chain
+        (AddToLocalWindow restart semantics, src/LocalMapping.cpp:897-916): a
+        window mixing pre-gap and post-gap keyframes with the connecting
+        PRV/bias edges disabled leaves the newer island's biases anchored by
+        nothing but weak visual roll information, and they diverge."""
         cfg = self.cfg
         slot = self.last_kf_slot
         if self.vi_inited:
             act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
-            return act[-cfg.local_window:]
+            w = act[-cfg.local_window:]
+            for i in range(len(w) - 1, 0, -1):
+                if w[i] in self.broken_chain_slots:
+                    w = w[i:]
+                    break
+            return w
         window = [slot] + self._covisible(slot, cfg.ba_window - 1)
         return window
 
@@ -846,6 +894,17 @@ class SlamSystem:
             fixed = [s for s in
                      self._covisible_strong(self.last_kf_slot, cfg.ba_window + 6)
                      if s not in window][:4]
+            # VI: the window front's chain predecessor joins as a FIXED vertex
+            # carrying its PRV+bias edge into the window (pKFPrevLocal,
+            # src/Optimizer.cpp LocalBAPRVIDP) — without it the window's bias
+            # chain has no anchor to history and its weakly-observed axes walk
+            prev_kf = None
+            if self.vi_inited and window[0] not in self.broken_chain_slots:
+                act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+                wi = act.index(window[0])
+                if wi > 0:
+                    prev_kf = act[wi - 1]
+                    fixed = [prev_kf] + [s for s in fixed if s != prev_kf][:3]
             pad_to = max(cfg.ba_window, cfg.local_window) + 4  # ONE jit shape
         if len(window) < 2:
             return
@@ -869,18 +928,35 @@ class SlamSystem:
         ks = jnp.asarray(all_slots, jnp.int32)
         if self.vi_inited:
             ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
-            edges = self._imu_edges(all_slots, len(window))
+            prev_idx = (len(window) if not force_all and prev_kf is not None
+                        else None)
+            edges = self._imu_edges(all_slots, len(window), prev_idx=prev_idx)
+            # a window that STARTS at a chain break (post-reloc island) has no
+            # history edge anchoring its bias chain: weakly-observed bias axes
+            # (optical-axis gyro bias under low roll texture) random-walk and
+            # can diverge. Pin the front keyframe's biases to their current
+            # (reloc-window-recomputed) values with a weak prior.
+            prior = None
+            if not force_all and window[0] in self.broken_chain_slots:
+                info = np.zeros((15, 15), np.float32)
+                info[9:12, 9:12] = np.eye(3) / 2e-3 ** 2
+                info[12:15, 12:15] = np.eye(3) / 2e-2 ** 2
+                prior = ba_vi.PriorFactor(
+                    cam=jnp.asarray(0, jnp.int32),
+                    ns0=jax.tree_util.tree_map(lambda a: a[window[0]],
+                                               self.m.kf_ns),
+                    info=jnp.asarray(info), valid=jnp.asarray(1.0, jnp.float32))
             if cfg.use_idp_ba and not self.sensor_depth and not force_all:
                 # flagship VI back end: anchored inverse-depth window BA
                 # (LocalBAPRVIDP parity; DP=1 shrinks the landmark system 3x)
                 ns2, pts2, chi2, idp_valid = self._vi_idp_ba(
-                    ks, ns_w, edges, obs, jnp.asarray(free))
+                    ks, ns_w, edges, obs, jnp.asarray(free), prior=prior)
                 obs = obs._replace(valid=idp_valid)  # anchor rows are not prunable
             else:
                 ns2, pts2, chi2, cost = ba_vi.vi_ba(
                     ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
                     jnp.asarray(free), self.m.mp_active.astype(jnp.float32),
-                    iters=8, bf=self._bf)
+                    prior=prior, iters=8, bf=self._bf)
             self.m = self.m._replace(
                 kf_ns=jax.tree_util.tree_map(
                     lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
@@ -953,7 +1029,7 @@ class SlamSystem:
             chi2 = jnp.where(z > 0, chi2, jnp.full_like(chi2, 1e9))
             self._prune_obs(all_slots, obs, chi2)
 
-    def _vi_idp_ba(self, ks, ns_w, edges, obs, free):
+    def _vi_idp_ba(self, ks, ns_w, edges, obs, free, prior=None):
         """Anchored inverse-depth VI window BA (Optimizer::LocalBAPRVIDP,
         src/Optimizer.cpp:32-630) on the solver in ba_vi_idp.
 
@@ -991,7 +1067,7 @@ class SlamSystem:
                     * self.m.mp_active)
         ns2, rho, chi2, cost = ba_vi_idp.vi_ba_idp(
             ns_w, rho0, idp_obs, edges, self.cam, self.ext, self.gw,
-            free, rho_free, iters=8)
+            free, rho_free, iters=8, prior=prior)
         Xw = ba_vi_idp.idp_to_xyz(rho, uv0, ns2.P[anchor_cl], ns2.R[anchor_cl],
                                   self.cam, self.ext)
         mp_pos = jnp.where((rho_free > 0)[:, None], Xw, self.m.mp_pos)
@@ -1008,9 +1084,19 @@ class SlamSystem:
             kf_mp[s][bad[i]] = -1
         self.m = self.m._replace(kf_mp=jnp.asarray(kf_mp))
 
-    def _imu_edges(self, all_slots, n_window):
-        """PRV edges along consecutive window KFs (local index space)."""
+    def _imu_edges(self, all_slots, n_window, prev_idx=None):
+        """PRV edges along consecutive window KFs (local index space).
+
+        prev_idx: optional local index of the window front's (fixed) chain
+        predecessor — adds the predecessor->front edge (the window front's own
+        stored preintegration), anchoring the window's bias chain to history
+        (pKFPrevLocal edge, src/Optimizer.cpp LocalBAPRVIDP)."""
         idx_i, idx_j, pres = [], [], []
+        if prev_idx is not None:
+            idx_i.append(prev_idx)
+            idx_j.append(0)
+            pres.append(jax.tree_util.tree_map(
+                lambda x: x[all_slots[0]], self.m.kf_preint))
         for a, b in zip(range(n_window - 1), range(1, n_window)):
             idx_i.append(a)
             idx_j.append(b)
@@ -1069,15 +1155,48 @@ class SlamSystem:
         merged = np.concatenate(
             [self.kf_imu_raw.get(slot, np.zeros((0, 7), np.float32)),
              self.kf_imu_raw.get(nxt, np.zeros((0, 7), np.float32))], 0)
-        merged = merged[-self.cfg.max_imu_per_kf:]
         self.kf_imu_raw[nxt] = merged
-        rawp = np.zeros((self.cfg.max_imu_per_kf, 7), np.float32)
-        rawp[:len(merged)] = merged
         bg = self.m.kf_ns.bg[nxt] + self.m.kf_ns.dbg[nxt]
         ba_ = self.m.kf_ns.ba[nxt] + self.m.kf_ns.dba[nxt]
-        pre = preintegrate(jnp.asarray(rawp), bg, ba_, self.noise)
+        pre = self._preintegrate_raw(merged, bg, ba_)
         self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
             lambda a, b: a.at[nxt].set(b), self.m.kf_preint, pre))
+
+    def _track_reference_kf(self, feats, uv):
+        """TrackReferenceKeyFrame (src/Tracking.cpp:1524): when both motion-
+        model searches fail, match the frame's descriptors against the
+        reference keyframe's landmark features (no motion prior), solve PnP,
+        and refine against the map. Returns a TrackResult or None."""
+        from mc_slam_tpu.frontend import matching as matching_mod
+        k = self.last_kf_slot
+        if k is None or not bool(self.m.kf_active[k]):
+            return None
+        mp_k = self.m.kf_mp[k]
+        has = (mp_k >= 0) & self.m.kf_feat_valid[k]
+        idx, best, okm = matching_mod.mutual_match(
+            feats.desc_pm1, feats.valid, self.m.kf_pm1[k], has,
+            max_dist=matching_mod.TH_LOW, ratio=0.85,
+            angle_a=feats.angle, angle_b=self.m.kf_angle[k])
+        if int(jnp.sum(okm)) < 15:
+            return None
+        xn = (np.asarray(uv) - [float(self.cam.cx), float(self.cam.cy)]) / \
+            [float(self.cam.fx), float(self.cam.fy)]
+        Xw = self.m.mp_pos[jnp.clip(mp_k[idx], 0, self.m.P - 1)]
+        self.key, sub = jax.random.split(self.key)
+        res = pnp.pnp_ransac(sub, Xw, jnp.asarray(xn, jnp.float32),
+                             okm.astype(jnp.float32), float(self.cam.fx),
+                             min_inliers=12)
+        if not bool(res.ok):
+            return None
+        R_wc = res.R_cw.T
+        C = -(R_wc @ res.t_cw[..., None])[..., 0]
+        P_b, R_b = self._cam_to_body(C, R_wc)
+        tr = tracking.track_frame_visual(self.m, feats, uv, self.cam, self.ext,
+                                         P_b, R_b, radius_coarse=15.0,
+                                         feat_ur=self._cur_ur, bf=self._bf)
+        if int(tr.n_inliers) < self.cfg.min_track_inliers:
+            return None
+        return tr
 
     # ------------------------------------------------------------------
     # Relocalization (Tracking::Relocalization, src/Tracking.cpp:2388):
@@ -1156,12 +1275,17 @@ class SlamSystem:
         # src/LoopClosing.cpp:137-141)
         if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 5:
             return
-        cand = self.loop.detect(self.m, slot, act)
+        cands = self.loop.detect(self.m, slot, act)
+        # Sim3 RANSAC validates each consistent candidate in turn (ComputeSim3
+        # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330)
+        cand, res = -1, None
+        for c in cands[:5]:
+            self.key, sub = jax.random.split(self.key)
+            r = loopclosing.compute_sim3_for_loop(self.m, sub, slot, c, self.cam)
+            if bool(r.ok):
+                cand, res = c, r
+                break
         if cand < 0:
-            return
-        self.key, sub = jax.random.split(self.key)
-        res = loopclosing.compute_sim3_for_loop(self.m, sub, slot, cand, self.cam)
-        if not bool(res.ok):
             return
         self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
                                         fix_scale=self.vi_inited)
@@ -1221,10 +1345,8 @@ class SlamSystem:
             raw = self.kf_imu_raw.get(slot)
             if raw is None:
                 continue
-            rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
-            rawp[:len(raw)] = raw
-            pre1 = preintegrate(jnp.asarray(rawp), jnp.asarray(bg, jnp.float32),
-                                jnp.asarray(ba_np, jnp.float32), self.noise)
+            pre1 = self._preintegrate_raw(raw, jnp.asarray(bg, jnp.float32),
+                                          jnp.asarray(ba_np, jnp.float32))
             self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
                 lambda a, b: a.at[slot].set(b), self.m.kf_preint, pre1))
         pre2 = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
@@ -1268,5 +1390,21 @@ class SlamSystem:
         self.__init__(self.cam, self.cfg, Tbc=self._Tbc, noise=self.noise)
 
     def get_trajectory(self):
-        """[(t, P_wb (3,), R_wb (3,3))] per tracked frame."""
-        return self.trajectory
+        """[(t, P_wb (3,), R_wb (3,3))] per tracked frame, composed against the
+        CURRENT keyframe poses (System::SaveTrajectoryTUM semantics): frames
+        recorded before VI init / loop closures / GBA inherit those
+        corrections through their reference keyframe. Frames whose reference
+        keyframe was culled (or its slot recycled) keep their track-time pose."""
+        kf_P = np.asarray(self.m.kf_ns.P)
+        kf_R = np.asarray(self.m.kf_ns.R)
+        kf_id = np.asarray(self.m.kf_id)
+        kf_act = np.asarray(self.m.kf_active)
+        out = []
+        for (t, k, kid, P_rel, R_rel, P_abs, R_abs) in self.trajectory:
+            if k >= 0 and kf_act[k] and kf_id[k] == kid:
+                R = kf_R[k] @ R_rel
+                P = kf_P[k] + kf_R[k] @ P_rel
+                out.append((t, P, R))
+            else:
+                out.append((t, P_abs, R_abs))
+        return out

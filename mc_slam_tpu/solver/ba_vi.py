@@ -134,12 +134,12 @@ def _build_H_cam(ns, pts, obs, edges, prior, camera, ext, gw, free_mask, huber_d
     return H, g
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_points"))
+@partial(jax.jit, static_argnames=("iters", "fix_points", "rtol"))
 def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
           ext: factors.Extrinsics, gw, free_cam, pt_mask,
           prior: PriorFactor | None = None, iters: int = 10,
           huber_delta2: float = CHI2_MONO, lam0: float = 1e-4,
-          fix_points: bool = False, bf=0.0):
+          fix_points: bool = False, bf=0.0, rtol: float = 0.0):
     """Windowed/global VI bundle adjustment over NavStates + XYZ landmarks.
 
     ns0: NavState with (Nc,…) arrays (window KFs + fixed neighbors/observers).
@@ -161,17 +161,21 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
         r, J_pr, J_pt, z, d2 = obs_reproj(
             camera, ext, ns.P[obs.cam], ns.R[obs.cam], pts[obs.pt], obs, bf)
         w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
+        # build the visual system in 6-d PR space; embed into the 15-d VI
+        # system once (reprojection has zero V/bias columns — padding them
+        # into the block outer products costs ~6x for nothing)
         o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
-                            Jc=_reproj_cam_jac_embed(J_pr)[:, None], Jp=J_pt, r=r, w=w)
-        Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(o, free_cam, Nc, DC, Np, DP)
+                            Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
+        Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
+            o, free_cam, Nc, 6, Np, DP)
         Hf, gf = _build_H_cam(ns, pts, obs, edges, prior, camera, ext, gw,
                               free_cam, huber_delta2, Nc)
-        Hcc = Hcc + Hf
-        g_c = g_c + gf
+        H = Hf.at[:, :6, :, :6].add(Hcc6)
+        g = gf.at[:, :6].add(g6)
         if fix_points:
-            dxc = lm.solve_cam_system(Hcc, g_c, lam, free_cam)
+            dxc = lm.solve_cam_system(H, g, lam, free_cam)
             return dxc, jnp.zeros_like(pts)
-        dxc, dxp = lm.schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_cam, pt_mask)
+        dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam, free_cam, pt_mask)
         return dxc, dxp
 
     def retract(x, dx):
@@ -180,7 +184,8 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
         return retract_states(ns, dxc), pts + dxp
 
     (ns, pts), cost, _ = lm.lm_optimize(
-        (ns0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+        (ns0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
+        rtol=rtol)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, z, _ = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
                                pts[obs.pt], obs, bf)
@@ -222,12 +227,12 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
         r, J_pr, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
                                        pts_o, obs, bf)
         w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
-        wJ = _reproj_cam_jac_embed(J_pr) * w[:, None, None]
+        wJ = J_pr * w[:, None, None]
         H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
         g = jnp.zeros((Nc, DC), r.dtype)
-        # all obs are on cam 1
-        H = H.at[1, :, 1, :].add(jnp.einsum('orc,ord->cd', wJ, _reproj_cam_jac_embed(J_pr)))
-        g = g.at[1].add(jnp.einsum('orc,or->c', wJ, r))
+        # all obs are on cam 1; reprojection touches only the 6-d PR block
+        H = H.at[1, :6, 1, :6].add(jnp.einsum('orc,ord->cd', wJ, J_pr))
+        g = g.at[1, :6].add(jnp.einsum('orc,or->c', wJ, r))
         cost = jnp.zeros((), r.dtype)
         prv, bias = _imu_edge_factors(ns, edges, gw)
         H, g, cost = lm.accumulate_cam_factors(H, g, cost, prv, free)

@@ -24,7 +24,8 @@ from mc_slam_tpu.camera import Camera
 from mc_slam_tpu.imu.navstate import NavState
 from mc_slam_tpu.solver import factors, lm
 from mc_slam_tpu.solver.ba import CHI2_MONO
-from mc_slam_tpu.solver.ba_vi import (DC, IMUEdges, _imu_edge_factors,
+from mc_slam_tpu.solver.ba_vi import (DC, IMUEdges, PriorFactor,
+                                      _imu_edge_factors, _prior_factor,
                                       retract_states)
 
 
@@ -44,15 +45,17 @@ def _embed15(J6, cols=slice(0, 6)):
     return jnp.concatenate([J6, pad], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
               ext: factors.Extrinsics, gw, free_cam, pt_mask, iters: int = 10,
-              huber_delta2: float = CHI2_MONO, lam0: float = 1e-4):
+              huber_delta2: float = CHI2_MONO, lam0: float = 1e-4,
+              rtol: float = 0.0, prior: PriorFactor | None = None):
     """Windowed VI BA over NavStates + anchored inverse depths.
 
     ns0: (Nc,...) NavStates; rho0 (Np,) inverse depths; obs references local
-    keyframe indices. Returns (ns, rho, chi2 (O,), cost).
-    """
+    keyframe indices. prior: optional 15-d prior on one keyframe (same role as
+    in vi_ba — e.g. the bias anchor of a chain-break window front).
+    Returns (ns, rho, chi2 (O,), cost)."""
     Nc = ns0.P.shape[0]
     Np = rho0.shape[0]
     DP = 1
@@ -72,28 +75,41 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
         prv, bias = _imu_edge_factors(ns, edges, gw)
         c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
         c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
+        if prior is not None:
+            pf = _prior_factor(ns, prior)
+            c = c + jnp.sum(pf.w * jnp.einsum('er,ers,es->e', pf.r, pf.info, pf.r))
         return c
 
     def linearize_solve(x, lam):
         ns, rho = x
-        r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
+        with jax.named_scope("idp_reproj"):
+            r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         w = obs.inv_sigma2 * lm.huber_weight(chi2, huber_delta2) * obs.valid \
             * (z > 1e-6)
+        # 6-d PR blocks (V/bias columns are zero for reprojection); embedded
+        # into the 15-d VI system after assembly
         o = lm.Observations(
             cam=jnp.stack([obs.anchor, obs.obs_kf], axis=-1),
             pt=obs.pt,
-            Jc=jnp.stack([_embed15(J_pr0), _embed15(J_pri)], axis=1),
+            Jc=jnp.stack([J_pr0, J_pri], axis=1),
             Jp=J_rho, r=r, w=w)
-        Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(
-            o, free_cam, Nc, DC, Np, DP)
+        with jax.named_scope("idp_build"):
+            Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
+                o, free_cam, Nc, 6, Np, DP)
         H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
         g = jnp.zeros((Nc, DC), r.dtype)
         prv, bias = _imu_edge_factors(ns, edges, gw)
         H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), prv, free_cam)
         H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), bias, free_cam)
-        dxc, dxp = lm.schur_solve(Hcc + H, g_c + g, Hpp, g_p, Wcp, lam,
-                                  free_cam, pt_mask)
+        if prior is not None:
+            H, g, _ = lm.accumulate_cam_factors(
+                H, g, jnp.zeros((), r.dtype), _prior_factor(ns, prior), free_cam)
+        H = H.at[:, :6, :, :6].add(Hcc6)
+        g = g.at[:, :6].add(g6)
+        with jax.named_scope("idp_schur"):
+            dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam,
+                                         free_cam, pt_mask)
         return dxc, dxp[:, 0]
 
     def retract(x, dx):
@@ -103,7 +119,8 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
         return retract_states(ns, dxc), jnp.maximum(rho + drho, 1e-6)
 
     (ns, rho), cost, _ = lm.lm_optimize(
-        (ns0, rho0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+        (ns0, rho0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
+        rtol=rtol)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, _, z = per_obs(ns, rho)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
