@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--profile", choices=["euroc", "mid", "small"], default="mid")
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--final-gba", action="store_true",
+                    help="run one whole-map BA before scoring")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -89,12 +91,24 @@ def main():
         if args.max_frames and n >= args.max_frames:
             break
 
+    if args.final_gba:
+        t0 = time.perf_counter()
+        slam.global_refine()
+        print(f"final GBA: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     traj = slam.get_trajectory()
     t_est = np.asarray([x[0] for x in traj])
     P_est = np.asarray([x[1] for x in traj])
-    # score the post-init stretch both metrically (scale fixed at 1) and with
-    # Sim3 alignment (the reference's mono scoring always aligns scale)
+    # score both with Sim3 alignment (the reference's mono scoring always
+    # aligns scale) and on the post-VI-init stretch only
     stats_s = ate_rmse(t_est, P_est, t_gt, P_gt, with_scale=True)
+    t_init = t_est[0] + 20.0
+    post = t_est > t_init
+    stats_post = (ate_rmse(t_est[post], P_est[post], t_gt, P_gt,
+                           with_scale=True) if post.sum() > 10 else {})
+    art_dir = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    np.savez(os.path.join(art_dir, f"traj_clone_{args.profile}.npz"),
+             t_est=t_est, P_est=P_est, t_gt=t_gt, P_gt=P_gt)
     result = {
         "frames": n,
         "keyframes": len(slam.kf_slots),
@@ -104,8 +118,12 @@ def main():
         "median_track_ms": float(np.median(times) * 1e3),
         "ate_rmse": float(stats_s["rmse"]),
         "ate_scale": float(stats_s["scale"]),
+        "ate_rmse_post_init": float(stats_post.get("rmse", -1.0)),
+        "ate_scale_post_init": float(stats_post.get("scale", -1.0)),
         "profile": args.profile,
         "duration_s": args.duration,
+        "stage_ms": {k: round(v["median_ms"], 2)
+                     for k, v in slam.timers.summary().items()},
     }
     print(json.dumps(result))
     out = args.out or os.path.join(os.path.dirname(__file__), "..",

@@ -82,8 +82,16 @@ def normalized_to_pixel(cam: Camera, xn):
     return jnp.stack([xn[..., 0] * cam.fx + cam.cx, xn[..., 1] * cam.fy + cam.cy], axis=-1)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("iters",))
 def undistort_points(cam: Camera, uv, iters: int = 8):
-    """Undistort raw pixel keypoints -> ideal pixel coords (Frame::UndistortKeyPoints)."""
+    """Undistort raw pixel keypoints -> ideal pixel coords
+    (Frame::UndistortKeyPoints). Jitted at the top level: the eager
+    fori_loop in undistort_normalized otherwise re-traces AND recompiles on
+    every call (its body closure is a fresh function object each time),
+    leaking one executable per frame."""
     return normalized_to_pixel(cam, undistort_normalized(cam, pixel_to_normalized(cam, uv), iters))
 
 

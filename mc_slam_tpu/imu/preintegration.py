@@ -139,12 +139,18 @@ def preint_update(st: PreintState, omega, acc, dt, noise: IMUNoise) -> PreintSta
     )
 
 
+@jax.jit
 def preintegrate(samples, bg, ba, noise: IMUNoise, init: PreintState | None = None) -> PreintState:
     """Preintegrate a window of IMU samples with a fused scan.
 
     samples: (T, 7) array of [omega(3), acc(3), dt(1)]; dt == 0 rows are padding.
     bg, ba: (3,) biases subtracted from every sample.
     Batched via ``jax.vmap`` for (B, T, 7) windows.
+
+    Jitted at the top level so biases/noise/init are traced ARGUMENTS: an
+    eager ``lax.scan`` bakes them in as compile-time constants and compiles a
+    fresh executable per call — per-frame tracking was recompiling the scan
+    every frame (and exhausting vm.max_map_count on long runs).
     """
     if init is None:
         init = preint_identity(dtype=samples.dtype)

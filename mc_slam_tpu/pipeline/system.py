@@ -55,6 +55,8 @@ class SlamConfig:
     covis_th: int = 15              # covisibility edge weight (src/KeyFrame.cpp:668)
     max_imu_per_kf: int = 256
     vi_init_time: float = 15.0      # seconds (config/euroc.yaml:6)
+    vi_init_max_cond: float = 5e4   # step-3 system condition-number acceptance
+    vi_init_scale_tol: float = 0.5  # |s - s_star| / s agreement (steps 2 vs 3)
     g_mag: float = 9.81
     use_imu: bool = False
     # VI local-window BA uses the anchored inverse-depth form (the reference's
@@ -464,6 +466,25 @@ class SlamSystem:
         act = self.kf_slots
         i = act.index(s2)
         heir = act[i + 1] if i + 1 < len(act) else act[i - 1]
+        # reparent trajectory entries referencing this KF onto the heir
+        # (KeyFrame::SetBadFlag parenting: saved frame poses compose through
+        # the surviving parent, src/KeyFrame.cpp:195-252) — otherwise those
+        # frames fall back to their track-time absolute pose and miss every
+        # later correction (VI-init rescale, loop closures, GBA)
+        kid = int(self.m.kf_id[s2])
+        heir_id = int(self.m.kf_id[heir])
+        Pk = np.asarray(self.m.kf_ns.P[s2])
+        Rk = np.asarray(self.m.kf_ns.R[s2])
+        Ph = np.asarray(self.m.kf_ns.P[heir])
+        Rh = np.asarray(self.m.kf_ns.R[heir])
+        R_hk = Rh.T @ Rk                     # culled KF in heir frame
+        P_hk = Rh.T @ (Pk - Ph)
+        for idx, e in enumerate(self.trajectory):
+            if e[1] == s2 and e[2] == kid:
+                t, _, _, P_rel, R_rel, P_abs, R_abs = e
+                self.trajectory[idx] = (t, heir, heir_id,
+                                        P_hk + R_hk @ P_rel, R_hk @ R_rel,
+                                        P_abs, R_abs)
         ref = self.m.mp_ref_kf
         self.m = self.m._replace(
             mp_ref_kf=jnp.where(ref == s2, heir, ref))
@@ -615,7 +636,14 @@ class SlamSystem:
             sigma_ba=float(self.noise.sigma_ba),
             feat_ur=self._cur_ur, bf=self._bf)
         n_in = int(n_in)
-        if n_in < 20:
+        # sanity gate on the per-frame bias step: the bias random walk allows
+        # ~1e-3 between frames; a jump orders of magnitude beyond that means
+        # the joint solve went numerically bad (f32 PRV information can come
+        # out indefinite on degenerate windows) — one poisoned NavState kills
+        # IMU prediction for every following frame
+        bias_jump = float(jnp.max(jnp.abs(ns2.dbg - self.last_ns.dbg))) > 0.05 \
+            or float(jnp.max(jnp.abs(ns2.dba - self.last_ns.dba))) > 0.5
+        if n_in < 20 or bias_jump:
             # IMU prediction missed the match window (bad gravity/bias or fast
             # motion): fall back to wide-window visual tracking from the last
             # pose, as the reference widens th and drops to
@@ -623,10 +651,10 @@ class SlamSystem:
             resv = tracking.track_frame_visual(
                 self.m, feats, uv, self.cam, self.ext,
                 self.last_ns.P, self.last_ns.R, radius_coarse=40.0)
-            if int(resv.n_inliers) > n_in:
+            if int(resv.n_inliers) > n_in or bias_jump:
                 dt_f = max(t - self.last_time, 1e-3)
                 V_est = (resv.P - self.last_ns.P) / dt_f
-                ns2 = ns2._replace(P=resv.P, R=resv.R, V=V_est)
+                ns2 = self.last_ns._replace(P=resv.P, R=resv.R, V=V_est)
                 feat_mp = resv.feat_mp
                 n_in = int(resv.n_inliers)
                 H_marg = jnp.eye(15, dtype=jnp.float32) * 1e2  # weak fresh prior
@@ -1338,6 +1366,18 @@ class SlamSystem:
         s = float(res.scale)
         if not np.isfinite(s) or s <= 1e-3:
             return
+        # acceptance gating beyond the 15 s rule: the step-3 system must be
+        # well-conditioned and its scale must agree with the step-2 estimate —
+        # a disagreement means the trajectory has not excited scale/gravity
+        # yet and the init would seed a wrong-metric map (VI-ORB IV-C
+        # diagnostics; reference surfaces them in plotinit)
+        sv = np.asarray(res.cond)
+        cond = float(sv[0] / max(float(sv[-1]), 1e-12))
+        s_star = float(res.scale_star)
+        if cond > cfg.vi_init_max_cond:
+            return
+        if abs(s - s_star) > cfg.vi_init_scale_tol * max(s, 1e-6):
+            return
         # re-preintegrate all KFs with the estimated gyro bias
         bg = np.asarray(res.bg)
         ba_np = np.asarray(res.ba)
@@ -1388,6 +1428,13 @@ class SlamSystem:
         """System::Reset semantics: clear the map and start over
         (src/Tracking.cpp:2569)."""
         self.__init__(self.cam, self.cfg, Tbc=self._Tbc, noise=self.noise)
+
+    def global_refine(self):
+        """One full-map bundle adjustment over all active keyframes
+        (GlobalBundleAdjustment(NavStatePRV), src/Optimizer.cpp:629/3346 — the
+        reference runs it after loop closures; offline drivers may also call
+        it once at sequence end before saving the trajectory)."""
+        self._local_ba(force_all=True, prune=False)
 
     def get_trajectory(self):
         """[(t, P_wb (3,), R_wb (3,3))] per tracked frame, composed against the

@@ -229,11 +229,24 @@ def imu_prv(P_i, R_i, V_i, dbg_i, dba_i, P_j, R_j, V_j, pre, gw):
 def imu_prv_info(pre, dtype=None):
     """9x9 information matrix of the PRV factor: inverse of the preintegration
     covariance re-ordered P,V,Phi -> P,Phi,V (Optimizer.cpp sets Info from
-    cov_P_V_Phi with that permutation)."""
+    cov_P_V_Phi with that permutation).
+
+    Inverted after diagonal (Jacobi) normalization: short-window covariances
+    have entries spanning ~1e-12..1e-8, and a raw f32 inverse occasionally
+    comes out indefinite — an indefinite information matrix lets the
+    optimizer run the bias away while "decreasing" the quadratic cost (seen
+    as a 57 rad/s per-frame gyro-bias step on a long run). The reference
+    escapes this only by doing everything in double."""
     cov = pre.cov
     perm = jnp.asarray([0, 1, 2, 6, 7, 8, 3, 4, 5])
     cov_prv = cov[..., perm, :][..., :, perm]
-    return jnp.linalg.inv(cov_prv)
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(cov_prv, axis1=-2, axis2=-1),
+                          1e-16, None))
+    dinv = 1.0 / d
+    cov_n = cov_prv * dinv[..., :, None] * dinv[..., None, :]
+    eye = jnp.eye(9, dtype=cov.dtype)
+    info_n = jnp.linalg.inv(cov_n + 1e-6 * eye)
+    return info_n * dinv[..., :, None] * dinv[..., None, :]
 
 
 # ---------------------------------------------------------------------------
