@@ -268,6 +268,93 @@ def deactivate_keyframe(m: MapState, kf_slot):
     )
 
 
+# ---------------------------------------------------------------------------
+# Point statistics refresh (MapPoint::ComputeDistinctiveDescriptors,
+# include/MapPoint.h:97, and MapPoint::UpdateNormalAndDepth, :103): after new
+# observations / fusion, re-pick each map point's representative descriptor as
+# the observation with minimum MEDIAN Hamming distance to all other
+# observations, and recompute the mean viewing normal + scale-invariance
+# distance range. Batched over all points seen by the new keyframe, with
+# observations gathered from a fixed-size window of observing keyframes.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def refresh_point_stats(m: MapState, slots, slot_valid,
+                        ext: factors.Extrinsics, n_levels=8):
+    """slots: (W,) int32 keyframe slots — slots[0] is the new KF whose observed
+    points are refreshed; the rest are its top covisible observers.
+    slot_valid: (W,) bool mask for padded entries. Observations in keyframes
+    outside this window are not consulted (bounded approximation of the
+    reference's all-observations scan)."""
+    W = slots.shape[0]
+    P, Fn = m.P, m.F
+    # inverse lookup: feature index of each window KF observing point p
+    kf_mp_w = m.kf_mp[slots]                                   # (W, F)
+    fv_w = m.kf_feat_valid[slots] & slot_valid[:, None]
+    obs_ok = fv_w & (kf_mp_w >= 0)
+    rows = jnp.repeat(jnp.arange(W, dtype=jnp.int32), Fn)
+    cols = jnp.where(obs_ok, kf_mp_w, P).reshape(-1)
+    feats = jnp.tile(jnp.arange(Fn, dtype=jnp.int32), W)
+    inv = jnp.full((W, P + 1), Fn, jnp.int32).at[rows, cols].min(feats)
+
+    touched = m.kf_mp[slots[0]]                                # (F,)
+    pt = jnp.clip(touched, 0, P - 1)
+    tmask = (touched >= 0) & m.kf_feat_valid[slots[0]] & m.mp_active[pt]
+
+    feat_iw = inv[:, pt].T                                     # (F, W)
+    vmask = feat_iw < Fn
+    fi = jnp.clip(feat_iw, 0, Fn - 1)
+    # gather per-observation descriptors: (F, W, 256) / (F, W, 8)
+    pm1_w = jnp.swapaxes(
+        jnp.take_along_axis(m.kf_pm1[slots], fi.T[:, :, None], axis=1), 0, 1)
+    desc_w = jnp.swapaxes(
+        jnp.take_along_axis(m.kf_desc[slots], fi.T[:, :, None], axis=1), 0, 1)
+    # pairwise Hamming within each point's observation set: d = (256 - dot)/2
+    pf = pm1_w.astype(jnp.float32)
+    d = (256.0 - jnp.einsum("fwc,fvc->fwv", pf, pf)) * 0.5     # (F, W, W)
+    d = jnp.where(vmask[:, None, :], d, jnp.inf)
+    cnt = jnp.sum(vmask, -1)                                   # (F,)
+    sortd = jnp.sort(d, axis=-1)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, W - 1)
+    med = jnp.take_along_axis(sortd, med_idx[:, None, None], axis=-1)[..., 0]
+    med = jnp.where(vmask, med, jnp.inf)                       # (F, W)
+    best_w = jnp.argmin(med, -1)                               # (F,)
+    new_pm1 = jnp.take_along_axis(pm1_w, best_w[:, None, None], axis=1)[:, 0]
+    new_desc = jnp.take_along_axis(desc_w, best_w[:, None, None], axis=1)[:, 0]
+
+    # mean viewing normal over window observations (UpdateNormalAndDepth)
+    Rbc = jnp.swapaxes(ext.Rcb, -1, -2)
+    pbc = -(Rbc @ ext.tcb[..., None])[..., 0]
+    C_w = (m.kf_ns.R[slots] @ pbc[None, :, None])[..., 0] + m.kf_ns.P[slots]
+    dirs = m.mp_pos[pt][:, None, :] - C_w[None, :, :]          # (F, W, 3)
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(vmask[..., None], dirs, 0.0), 1)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # scale-invariance range re-anchored at the reference KF when it is inside
+    # the window (dist * 1.2^level of the anchoring observation)
+    is_ref = (slots[None, :] == m.mp_ref_kf[pt][:, None]) & vmask
+    ref_in = jnp.any(is_ref, -1)
+    w_ref = jnp.argmax(is_ref, -1)
+    d_ref = jnp.linalg.norm(
+        m.mp_pos[pt] - C_w[jnp.clip(w_ref, 0, W - 1)], axis=-1)
+    f_ref = jnp.take_along_axis(fi, w_ref[:, None], axis=1)[:, 0]
+    lvl_ref = m.kf_level[slots][w_ref, f_ref].astype(jnp.float32)
+    max_d = d_ref * (1.2 ** lvl_ref)
+    min_d = max_d / (1.2 ** (n_levels - 1))
+
+    write = tmask & (cnt >= 2)
+    idx = jnp.where(write, pt, P)
+    idx_ref = jnp.where(write & ref_in, pt, P)
+    return m._replace(
+        mp_pm1=m.mp_pm1.at[idx].set(new_pm1, mode="drop"),
+        mp_desc=m.mp_desc.at[idx].set(new_desc, mode="drop"),
+        mp_normal=m.mp_normal.at[idx].set(normal, mode="drop"),
+        mp_max_dist=m.mp_max_dist.at[idx_ref].set(max_d, mode="drop"),
+        mp_min_dist=m.mp_min_dist.at[idx_ref].set(min_d, mode="drop"),
+    )
+
+
 @jax.jit
 def update_found_visible(m: MapState, visible_mask, found_mask):
     """Tracking bookkeeping: IncreaseVisible/IncreaseFound counters."""

@@ -63,6 +63,11 @@ class SlamConfig:
     # production back end, LocalBAPRVIDP src/Optimizer.cpp:32); XYZ remains for
     # visual-only, global, and depth-sensor problems
     use_idp_ba: bool = True
+    # early-termination threshold for window-BA LM iterations: once an accepted
+    # step improves cost by < ba_rtol relative, the remaining scan iterations
+    # no-op (the synchronous analog of the reference's mbAbortBA budget,
+    # src/LocalMapping.cpp:1112). 0 disables.
+    ba_rtol: float = 1e-3
     stereo_baseline: float = 0.11   # meters (EuRoC-like rig)
     cull_min_obs: int = 3           # 3 mono, 2 for depth sensors (nThObs)
     seed: int = 0
@@ -854,6 +859,16 @@ class SlamSystem:
                                                    jnp.asarray(nb), self.cam, self.ext)
             self.m, _ = mapping.fuse_into_keyframe(self.m, jnp.asarray(nb),
                                                    jnp.asarray(slot), self.cam, self.ext)
+        # representative descriptors + normals/scale ranges of the points this
+        # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
+        # after fusion in the reference, src/LocalMapping.cpp:1550)
+        nbs = self._covisible(slot, 7)
+        wslots = ([slot] + nbs + [slot] * 7)[:8]
+        wvalid = [True] * (1 + len(nbs)) + [False] * 7
+        self.m = mapping.refresh_point_stats(
+            self.m, jnp.asarray(wslots, jnp.int32),
+            jnp.asarray(wvalid[:8]), self.ext,
+            n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
         self._local_ba()
         self._cull_keyframes()
         # keep the tracking state synced to the (BA-updated) newest KF
@@ -984,7 +999,8 @@ class SlamSystem:
                 ns2, pts2, chi2, cost = ba_vi.vi_ba(
                     ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
                     jnp.asarray(free), self.m.mp_active.astype(jnp.float32),
-                    prior=prior, iters=8, bf=self._bf)
+                    prior=prior, iters=8, bf=self._bf,
+                    rtol=0.0 if force_all else cfg.ba_rtol)
             self.m = self.m._replace(
                 kf_ns=jax.tree_util.tree_map(
                     lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
@@ -995,7 +1011,7 @@ class SlamSystem:
             P2, R2, pts2, chi2, cost = ba.visual_ba(
                 P0, R0, self.m.mp_pos, obs, self.cam, self.ext,
                 jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=10,
-                bf=self._bf)
+                bf=self._bf, rtol=0.0 if force_all else cfg.ba_rtol)
             ns = self.m.kf_ns
             self.m = self.m._replace(
                 kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
@@ -1095,7 +1111,7 @@ class SlamSystem:
                     * self.m.mp_active)
         ns2, rho, chi2, cost = ba_vi_idp.vi_ba_idp(
             ns_w, rho0, idp_obs, edges, self.cam, self.ext, self.gw,
-            free, rho_free, iters=8, prior=prior)
+            free, rho_free, iters=8, prior=prior, rtol=self.cfg.ba_rtol)
         Xw = ba_vi_idp.idp_to_xyz(rho, uv0, ns2.P[anchor_cl], ns2.R[anchor_cl],
                                   self.cam, self.ext)
         mp_pos = jnp.where((rho_free > 0)[:, None], Xw, self.m.mp_pos)

@@ -121,10 +121,10 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
 # Full visual BA with landmark Schur complement
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
               free_cam, pt_mask, iters: int = 10, huber_delta2: float = CHI2_MONO,
-              lam0: float = 1e-4, bf=0.0):
+              lam0: float = 1e-4, bf=0.0, rtol: float = 0.0):
     """Joint camera + landmark BA.
 
     P0 (Nc,3), R0 (Nc,3,3), pts0 (Np,3). free_cam (Nc,) float {0,1}; pt_mask (Np,).
@@ -157,7 +157,8 @@ def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrins
         return (P + dxc[:, :3], R @ lie.so3_exp(dxc[:, 3:6]), pts + dxp)
 
     (P, R, pts), cost, _ = lm.lm_optimize(
-        (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+        (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
+        rtol=rtol)
     R = lie.so3_normalize_fast(R)
     r, _, _, z, _ = per_obs((P, R, pts))
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2

@@ -1,0 +1,107 @@
+"""Map-point statistics refresh: distinctive descriptor (min median Hamming,
+MapPoint::ComputeDistinctiveDescriptors, include/MapPoint.h:97) and mean
+viewing normal / scale range (UpdateNormalAndDepth, :103) — brute-force numpy
+oracle vs the batched kernel."""
+import jax.numpy as jnp
+import numpy as np
+
+from mc_slam_tpu.frontend import orb
+from mc_slam_tpu.pipeline import mapping
+from mc_slam_tpu.slam_map.mapstate import empty_map
+from mc_slam_tpu.solver import factors
+
+
+def _hamming(a, b):
+    return bin(int(a) ^ int(b)).count("1")
+
+
+def _words_to_int(words):
+    v = 0
+    for i, w in enumerate(words):
+        v |= int(w) << (32 * i)
+    return v
+
+
+def test_distinctive_descriptor_matches_bruteforce(rng):
+    K, F, P = 6, 24, 64
+    m = empty_map(max_kf=K, max_mp=P, n_feat=F)
+    desc = rng.integers(0, 2**32, size=(K, F, 8), dtype=np.uint32)
+    pm1 = orb.unpack_pm1(jnp.asarray(desc.reshape(-1, 8))).reshape(K, F, 256)
+    # layout: each point p < F observed by the first n_obs[p] KFs at feature p
+    n_obs = rng.integers(1, K + 1, size=P)
+    kf_mp = np.full((K, F), -1, np.int32)
+    for p in range(F):
+        for k in range(n_obs[p]):
+            kf_mp[k, p] = p
+    pos = rng.normal(0, 2, size=(P, 3)).astype(np.float32) + [0, 0, 8]
+    ns = m.kf_ns
+    Pk = rng.normal(0, 1, size=(K, 3)).astype(np.float32)
+    m = m._replace(
+        kf_active=jnp.ones(K, bool),
+        kf_feat_valid=jnp.ones((K, F), bool),
+        kf_mp=jnp.asarray(kf_mp),
+        kf_desc=jnp.asarray(desc),
+        kf_pm1=pm1,
+        kf_level=jnp.asarray(rng.integers(0, 4, size=(K, F)), jnp.int32),
+        kf_ns=ns._replace(P=jnp.asarray(Pk)),
+        mp_pos=jnp.asarray(pos),
+        mp_active=jnp.ones(P, bool).at[F:].set(False),
+        mp_ref_kf=jnp.zeros(P, jnp.int32),
+        mp_desc=jnp.asarray(rng.integers(0, 2**32, size=(P, 8), dtype=np.uint32)),
+    )
+    slots = jnp.arange(8, dtype=jnp.int32) % K
+    valid = jnp.asarray([True] * K + [False] * (8 - K))
+    ext = factors.identity_extrinsics()
+    m2 = mapping.refresh_point_stats(m, slots, valid, ext,
+                                     n_levels=jnp.asarray(8, jnp.int32))
+    out_desc = np.asarray(m2.mp_desc)
+    out_norm = np.asarray(m2.mp_normal)
+    for p in range(F):
+        obs = [(k, p) for k in range(K) if kf_mp[k, p] == p]
+        if n_obs[p] < 2:
+            continue  # single observation: untouched
+        ds = [_words_to_int(desc[k, f]) for k, f in obs]
+        meds = []
+        for i, di in enumerate(ds):
+            dd = sorted(_hamming(di, dj) for dj in ds)
+            meds.append(dd[(len(ds) - 1) // 2])
+        best = int(np.argmin(meds))
+        kb, fb = obs[best]
+        assert np.array_equal(out_desc[p], desc[kb, fb]), p
+        # mean viewing normal (identity extrinsics: camera center == body P)
+        dirs = [pos[p] - Pk[k] for k, _ in obs]
+        dirs = [d / np.linalg.norm(d) for d in dirs]
+        nrm = np.sum(dirs, 0)
+        nrm = nrm / np.linalg.norm(nrm)
+        assert np.allclose(out_norm[p], nrm, atol=1e-4), p
+
+
+def test_refresh_updates_scale_range_at_ref_kf(rng):
+    K, F, P = 4, 8, 16
+    m = empty_map(max_kf=K, max_mp=P, n_feat=F)
+    desc = rng.integers(0, 2**32, size=(K, F, 8), dtype=np.uint32)
+    pm1 = orb.unpack_pm1(jnp.asarray(desc.reshape(-1, 8))).reshape(K, F, 256)
+    kf_mp = np.full((K, F), -1, np.int32)
+    kf_mp[0, 0] = 0
+    kf_mp[1, 0] = 0
+    pos = np.zeros((P, 3), np.float32)
+    pos[0] = [0, 0, 5.0]
+    lvl = np.zeros((K, F), np.int32)
+    lvl[0, 0] = 2
+    m = m._replace(
+        kf_active=jnp.ones(K, bool),
+        kf_feat_valid=jnp.ones((K, F), bool),
+        kf_mp=jnp.asarray(kf_mp), kf_desc=jnp.asarray(desc), kf_pm1=pm1,
+        kf_level=jnp.asarray(lvl),
+        mp_pos=jnp.asarray(pos),
+        mp_active=jnp.ones(P, bool).at[1:].set(False),
+        mp_ref_kf=jnp.zeros(P, jnp.int32),
+    )
+    ext = factors.identity_extrinsics()
+    slots = jnp.asarray([0, 1] + [0] * 6, jnp.int32)
+    valid = jnp.asarray([True, True] + [False] * 6)
+    m2 = mapping.refresh_point_stats(m, slots, valid, ext,
+                                     n_levels=jnp.asarray(8, jnp.int32))
+    exp_max = 5.0 * 1.2 ** 2
+    assert np.isclose(float(m2.mp_max_dist[0]), exp_max, rtol=1e-5)
+    assert np.isclose(float(m2.mp_min_dist[0]), exp_max / 1.2 ** 7, rtol=1e-5)
