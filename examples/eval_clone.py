@@ -78,9 +78,12 @@ def main():
 
     times = []
     n = 0
-    for t_frame, img, imu_rows in native_loader.NativeEurocLoader(mav0):
+
+    def run_frame(item):
+        nonlocal n
+        t_frame, buf, imu_rows = item
         t0 = time.perf_counter()
-        slam.track(img, t_frame, imu=imu_rows)
+        slam.track(buf, t_frame, imu=imu_rows)
         times.append(time.perf_counter() - t0)
         n += 1
         if n % 200 == 0:
@@ -88,8 +91,20 @@ def main():
                   f"mp={int(slam.m.mp_active.sum())} vi={slam.vi_inited} "
                   f"loops={slam.n_loops_closed} "
                   f"median={np.median(times)*1e3:.0f}ms", file=sys.stderr)
-        if args.max_frames and n >= args.max_frames:
-            break
+
+    # one-frame lookahead: the NEXT frame's (uint8) host->device upload is
+    # issued before tracking the current frame so the transfer overlaps compute
+    pending = None
+    for t_frame, img, imu_rows in native_loader.NativeEurocLoader(mav0):
+        buf = slam.upload(img)
+        if pending is not None:
+            run_frame(pending)
+            if args.max_frames and n >= args.max_frames:
+                pending = None
+                break
+        pending = (t_frame, buf, imu_rows)
+    if pending is not None:
+        run_frame(pending)
 
     if args.final_gba:
         t0 = time.perf_counter()

@@ -71,17 +71,32 @@ def main():
 
     times = []
     n = 0
-    for t_frame, img, imu_rows in frames():
+
+    def run_frame(item):
+        nonlocal n
+        t_frame, buf, imu_rows = item
         t0 = time.perf_counter()
-        slam.track(img, t_frame, imu=None if args.no_imu else imu_rows)
+        slam.track(buf, t_frame, imu=None if args.no_imu else imu_rows)
         times.append(time.perf_counter() - t0)
         n += 1
         if n % 100 == 0:
             print(f"frame {n}: state={slam.state} kf={slam.n_kf} "
                   f"mp={int(slam.m.mp_active.sum())} "
                   f"median_track={np.median(times)*1e3:.1f}ms", file=sys.stderr)
-        if args.max_frames and n >= args.max_frames:
-            break
+
+    # one-frame lookahead: upload frame n+1 (async, uint8) before tracking
+    # frame n so the host->device transfer overlaps tracking compute
+    pending = None
+    for t_frame, img, imu_rows in frames():
+        buf = slam.upload(img)
+        if pending is not None:
+            run_frame(pending)
+            if args.max_frames and n >= args.max_frames:
+                pending = None
+                break
+        pending = (t_frame, buf, imu_rows)
+    if pending is not None:
+        run_frame(pending)
 
     os.makedirs(args.out_dir, exist_ok=True)
     traj = slam.get_trajectory()

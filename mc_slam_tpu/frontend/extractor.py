@@ -38,8 +38,10 @@ def per_level_quota(n_features, n_levels=8, scale=1.2):
 @partial(jax.jit, static_argnames=("n_features", "n_levels", "cell"))
 def extract(img, n_features=1024, n_levels=8, scale=1.2, th_hi=20.0, th_lo=7.0,
             cell=32) -> Features:
-    """img: (H, W) float32 grayscale in [0,255]. Returns padded Features of
+    """img: (H, W) grayscale in [0,255] — float32, or uint8 (cast on device:
+    u8 frames cost 4x less host->device bandwidth). Returns padded Features of
     exactly n_features rows (invalid rows masked)."""
+    img = img.astype(jnp.float32)
     levels = pyramid.build_pyramid(img, n_levels, scale)
     quotas = per_level_quota(n_features, n_levels, scale)
     sf = pyramid.scale_factors(n_levels, scale)

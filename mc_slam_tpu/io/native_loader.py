@@ -44,7 +44,8 @@ def available() -> bool:
 class NativeEurocLoader:
     """Iterates (t_frame, image (H,W) float32, imu (N,7) float32 [gyro,acc,dt])."""
 
-    def __init__(self, mav0_path: str, n_prefetch: int = 4, imu_cap: int = 64):
+    def __init__(self, mav0_path: str, n_prefetch: int = 4, imu_cap: int = 64,
+                 uint8: bool = True):
         lib = _load()
         self._lib = lib
         self._h = lib.el_open(mav0_path.encode(), n_prefetch)
@@ -57,6 +58,9 @@ class NativeEurocLoader:
         self._img = np.empty((self.height, self.width), np.float32)
         self._imu = np.empty((imu_cap, 7), np.float32)
         self._idx = 0
+        # uint8: yield frames as u8 (EuRoC PNGs are 8-bit gray, so this is
+        # lossless) — 4x less host->device upload than float32
+        self._uint8 = uint8
 
     def __iter__(self):
         return self
@@ -76,7 +80,8 @@ class NativeEurocLoader:
             raise RuntimeError(f"PNG decode failed at frame {self._idx}")
         t = self._lib.el_frame_time(self._h, self._idx)
         self._idx += 1
-        return t, self._img.copy(), self._imu[:n].copy()
+        img = self._img.astype(np.uint8) if self._uint8 else self._img.copy()
+        return t, img, self._imu[:n].copy()
 
     def close(self):
         if self._h is not None:

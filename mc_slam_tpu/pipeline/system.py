@@ -158,8 +158,25 @@ class SlamSystem:
     def _undistort(self, feats: Features):
         return undistort_points(self.cam, feats.xy)
 
+    def upload(self, img):
+        """Asynchronously stage a frame on the device ahead of `track`.
+
+        Returns a device array that `track` accepts directly. uint8 input is
+        uploaded as-is (4x less host->device bandwidth than float32; the
+        extractor casts on device). Callers with a frame of lookahead should
+        upload frame n+1 before tracking frame n so the transfer overlaps
+        tracking compute (the TPU-native replacement for the reference's
+        blocking cv::imread in the driver loop)."""
+        if isinstance(img, jax.Array):
+            return img
+        a = np.asarray(img)
+        if a.dtype not in (np.uint8, np.float32):
+            a = a.astype(np.float32)
+        return jax.device_put(a)
+
     def track(self, img, t, imu=None, depth=None, img_right=None):
-        """Process one frame. img: (H,W) float32; t: time; imu: (T,7) rows
+        """Process one frame. img: (H,W) float32 or uint8 (host array, or a
+        device array staged by `upload`); t: time; imu: (T,7) rows
         [gyro, acc, dt] since the previous frame (VI mode); depth: optional
         (H,W) metric depth map (RGB-D mode, TrackRGBD); img_right: optional
         rectified right image (stereo mode, TrackStereo)."""
@@ -168,7 +185,7 @@ class SlamSystem:
             self.imu_since_kf.append(np.asarray(imu, np.float32))
             self.imu_since_frame.append(np.asarray(imu, np.float32))
         with self.timers.stage("extract"):
-            feats = extractor.extract(jnp.asarray(img, jnp.float32),
+            feats = extractor.extract(self.upload(img),
                                       n_features=cfg.n_feat, n_levels=cfg.n_levels)
             uv = self._undistort(feats)
         feat_depth = self._feature_depth(feats, uv, depth, img_right)
