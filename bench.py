@@ -140,18 +140,27 @@ def main():
         "batched8_fps_aggregate": round(fps_agg, 1),
     }
     # end-to-end accuracy on the full-scale synthetic EuRoC clone: produced by
-    # examples/run_euroc.py over examples/make_euroc_clone.py output (2400
-    # frames, euroc profile) and recorded in artifacts/ate_clone.json —
-    # reproducible offline; too long for the bench's time budget
+    # examples/eval_clone.py over examples/make_euroc_clone.py output (the
+    # euroc profile: 752x480, 1024 feat, 8 levels, 512 KF / 16k MP, VI) and
+    # recorded in artifacts/ — reproducible offline; too long for the bench's
+    # time budget
     import os
-    ate_path = os.path.join(os.path.dirname(__file__), "artifacts",
-                            "ate_clone.json")
-    if os.path.exists(ate_path):
-        with open(ate_path) as f:
-            ate = json.load(f)
-        sub["ate_clone_rmse_m"] = ate.get("ate_rmse")
-        sub["ate_clone_frames"] = ate.get("frames")
-        print(f"# clone ATE (precomputed, see artifacts/): {ate}", file=sys.stderr)
+    art = os.path.join(os.path.dirname(__file__), "artifacts")
+    for name, tag in (("ate_clone_euroc.json", "euroc"),
+                      ("ate_clone_mid.json", "mid"),
+                      ("ate_clone.json", "")):
+        ate_path = os.path.join(art, name)
+        if os.path.exists(ate_path):
+            with open(ate_path) as f:
+                ate = json.load(f)
+            sub["ate_clone_rmse_m"] = ate.get("ate_rmse")
+            sub["ate_clone_rmse_post_init_m"] = ate.get("ate_rmse_post_init")
+            sub["ate_clone_frames"] = ate.get("frames")
+            sub["ate_clone_profile"] = ate.get("profile", tag)
+            sub["ate_clone_loops"] = ate.get("loops_closed")
+            print(f"# clone ATE (precomputed, see artifacts/): {ate}",
+                  file=sys.stderr)
+            break
     print(json.dumps({
         "metric": "frame_tracking_fps",
         "value": round(fps, 2),

@@ -124,6 +124,15 @@ def main():
     os.makedirs(art_dir, exist_ok=True)
     np.savez(os.path.join(art_dir, f"traj_clone_{args.profile}.npz"),
              t_est=t_est, P_est=P_est, t_gt=t_gt, P_gt=P_gt)
+    try:
+        from mc_slam_tpu.viz import save_map_snapshot
+        save_map_snapshot(
+            slam.m, traj,
+            os.path.join(art_dir, f"map_clone_{args.profile}.png"),
+            title=f"clone/{args.profile}: {n} frames, "
+                  f"{len(slam.kf_slots)} KFs, {slam.n_loops_closed} loops")
+    except Exception as e:  # rendering must never fail the eval
+        print(f"map snapshot failed: {e}", file=sys.stderr)
     result = {
         "frames": n,
         "keyframes": len(slam.kf_slots),

@@ -146,13 +146,18 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     K = len(slots)
     idx_of = {s: i for i, s in enumerate(slots)}
     dtype = m.mp_pos.dtype
+    # bucket-pad vertices/edges so each loop closure doesn't compile a fresh
+    # pose-graph program (device compiles are expensive); pad vertices
+    # duplicate the last slot with free=0 and no edges
+    Kp = max(32, int(np.ceil(K / 32)) * 32)
+    slots_p = slots + [slots[-1]] * (Kp - K)
 
     # vertices: world->kf (Scw), from current body poses (s=1)
-    Rwk = m.kf_ns.R[jnp.asarray(slots)]
-    Pwk = m.kf_ns.P[jnp.asarray(slots)]
+    Rwk = m.kf_ns.R[jnp.asarray(slots_p)]
+    Pwk = m.kf_ns.P[jnp.asarray(slots_p)]
     R0 = jnp.swapaxes(Rwk, -1, -2)
     t0 = -(R0 @ Pwk[..., None])[..., 0]
-    s0 = jnp.ones(K, dtype)
+    s0 = jnp.ones(Kp, dtype)
 
     # edges: sequential chain (spanning tree) + strongest covisibility pairs
     ei, ej = [], []
@@ -163,34 +168,48 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     for k in np.nonzero(covis >= 50)[0]:
         if int(k) in idx_of and idx_of[int(k)] != idx_of[slot_cur]:
             ei.append(idx_of[int(k)]); ej.append(idx_of[slot_cur])
-    # the loop edge with the measured Sim3: S_cur_corrected = S_lc * S_loop
     i_loop, i_cur = idx_of[slot_loop], idx_of[slot_cur]
+    n_edges = len(ei)
+    Ep = max(64, int(np.ceil((n_edges + 1) / 32)) * 32)
+    w_np = np.zeros(Ep, np.float32)
+    w_np[:n_edges] = 1.0
+    w_np[n_edges] = 5.0                                  # strong loop edge
+    ei = ei + [0] * (Ep - n_edges)
+    ej = ej + [0] * (Ep - n_edges)
 
     ei_a = jnp.asarray(ei, jnp.int32)
     ej_a = jnp.asarray(ej, jnp.int32)
     sm, Rm, tm = posegraph.edge_measurement(
         s0[ei_a], R0[ei_a], t0[ei_a], s0[ej_a], R0[ej_a], t0[ej_a])
 
-    # loop edge (i=loop, j=cur): measurement S_{cur,loop} — exactly the RANSAC
-    # Sim3, which maps loop-KF camera coords into current-KF camera coords
-    ei_a = jnp.concatenate([ei_a, jnp.asarray([i_loop], jnp.int32)])
-    ej_a = jnp.concatenate([ej_a, jnp.asarray([i_cur], jnp.int32)])
-    sm = jnp.concatenate([sm, sim3_lc.s[None]])
-    Rm = jnp.concatenate([Rm, sim3_lc.R[None]])
-    tm = jnp.concatenate([tm, sim3_lc.t[None]])
-    w = jnp.ones(ei_a.shape[0], dtype).at[-1].set(5.0)   # strong loop edge
+    # the loop edge (i=loop, j=cur) at position n_edges: measurement
+    # S_{cur,loop} — exactly the RANSAC Sim3, which maps loop-KF camera
+    # coords into current-KF camera coords
+    li = jnp.asarray(n_edges)
+    ei_a = ei_a.at[li].set(i_loop)
+    ej_a = ej_a.at[li].set(i_cur)
+    sm = sm.at[li].set(sim3_lc.s)
+    Rm = Rm.at[li].set(sim3_lc.R)
+    tm = tm.at[li].set(sim3_lc.t)
+    w = jnp.asarray(w_np, dtype)
 
-    free = jnp.ones(K, dtype).at[i_loop].set(0.0)        # fix the loop KF
+    free = (jnp.asarray(np.arange(Kp) < K, np.float32)
+            .astype(dtype).at[i_loop].set(0.0))          # fix the loop KF + pads
     g = posegraph.Sim3Graph(s=s0, R=R0, t=t0, ei=ei_a, ej=ej_a,
                             s_m=sm, R_m=Rm, t_m=tm, w=w, free=free)
     R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(
         g, iters=20, fix_scale=fix_scale)
+    # pad rows scatter to the same slot as the last real row; make them carry
+    # its optimized values (shape-stable clamp gather)
+    row = jnp.minimum(jnp.arange(Kp), jnp.asarray(K - 1))
+    R_new, s_new, t_new = R_new[row], s_new[row], t_new[row]
+    Rwk = Rwk[row]
 
     # recover body poses: R_wk = R_new^T, P = -1/s R^T t
     Rwk2 = jnp.swapaxes(R_new, -1, -2)
     Pwk2 = -(Rwk2 @ t_new[..., None])[..., 0] / s_new[..., None]
     ns = m.kf_ns
-    ks = jnp.asarray(slots)
+    ks = jnp.asarray(slots_p)
     # rotate/scale velocities with the per-KF rotation correction
     dR = Rwk2 @ jnp.swapaxes(Rwk, -1, -2)                # world-frame correction
     V2 = (dR @ ns.V[ks][..., None])[..., 0] / s_new[..., None]

@@ -67,7 +67,7 @@ class SlamConfig:
     # step improves cost by < ba_rtol relative, the remaining scan iterations
     # no-op (the synchronous analog of the reference's mbAbortBA budget,
     # src/LocalMapping.cpp:1112). 0 disables.
-    ba_rtol: float = 1e-3
+    ba_rtol: float = 1e-4
     stereo_baseline: float = 0.11   # meters (EuRoC-like rig)
     cull_min_obs: int = 3           # 3 mono, 2 for depth sensors (nThObs)
     seed: int = 0
@@ -651,20 +651,23 @@ class SlamSystem:
                 cam=jnp.asarray(0, jnp.int32), ns0=self.last_ns,
                 info=jnp.eye(15, dtype=jnp.float32) * 1e3,
                 valid=jnp.asarray(1.0, jnp.float32))
-        ns2, feat_mp, n_m, n_in, H_marg = tracking.track_frame_vi(
-            self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
-            pre, self.gw, self.prior,
-            sigma_bg=float(self.noise.sigma_bg),
-            sigma_ba=float(self.noise.sigma_ba),
-            feat_ur=self._cur_ur, bf=self._bf)
-        n_in = int(n_in)
+        # fused step: track + bias-jump sanity + prior symmetrization +
+        # found/visible counters all on device; ONE small host pull per frame
+        ns2, feat_mp, H_prior, mp_found, mp_vis, summary = \
+            tracking.track_frame_vi_step(
+                self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
+                pre, self.gw, self.prior,
+                sigma_bg=float(self.noise.sigma_bg),
+                sigma_ba=float(self.noise.sigma_ba),
+                feat_ur=self._cur_ur, bf=self._bf)
+        summary = np.asarray(summary)
+        n_in = int(summary[0])
         # sanity gate on the per-frame bias step: the bias random walk allows
         # ~1e-3 between frames; a jump orders of magnitude beyond that means
         # the joint solve went numerically bad (f32 PRV information can come
         # out indefinite on degenerate windows) — one poisoned NavState kills
         # IMU prediction for every following frame
-        bias_jump = float(jnp.max(jnp.abs(ns2.dbg - self.last_ns.dbg))) > 0.05 \
-            or float(jnp.max(jnp.abs(ns2.dba - self.last_ns.dba))) > 0.5
+        bias_jump = bool(summary[1])
         if n_in < 20 or bias_jump:
             # IMU prediction missed the match window (bad gravity/bias or fast
             # motion): fall back to wide-window visual tracking from the last
@@ -679,7 +682,8 @@ class SlamSystem:
                 ns2 = self.last_ns._replace(P=resv.P, R=resv.R, V=V_est)
                 feat_mp = resv.feat_mp
                 n_in = int(resv.n_inliers)
-                H_marg = jnp.eye(15, dtype=jnp.float32) * 1e2  # weak fresh prior
+                H_prior = jnp.eye(15, dtype=jnp.float32) * 1e2  # weak fresh prior
+                mp_found = mp_vis = None       # recompute for the new feat_mp
         # accept threshold: >= 6 inliers with IMU support (src/Tracking.cpp:281-288)
         if n_in < max(6, cfg.min_track_inliers // 2):
             self.state = LOST
@@ -687,18 +691,18 @@ class SlamSystem:
         self.last_ns = ns2
         self.last_pose = (ns2.P, ns2.R)
         # next frame's prior: this frame's marginal information (+ floor)
-        H_np = np.asarray(H_marg, np.float64)
-        H_np = 0.5 * (H_np + H_np.T) + 1e-3 * np.eye(15)
         self.prior = ba_vi.PriorFactor(
-            cam=jnp.asarray(0, jnp.int32), ns0=ns2,
-            info=jnp.asarray(H_np, jnp.float32),
+            cam=jnp.asarray(0, jnp.int32), ns0=ns2, info=H_prior,
             valid=jnp.asarray(1.0, jnp.float32))
         self.imu_since_frame = []
         self._cur_feat_mp = feat_mp
         self._cur_inliers = n_in
-        vis_mask = jnp.zeros(self.m.P, bool).at[
-            jnp.clip(feat_mp, 0, self.m.P - 1)].set(feat_mp >= 0, mode="drop")
-        self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        if mp_found is None:
+            vis_mask = jnp.zeros(self.m.P, bool).at[
+                jnp.clip(feat_mp, 0, self.m.P - 1)].set(feat_mp >= 0, mode="drop")
+            self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        else:
+            self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
         self.state = OK
         return True
 
@@ -946,7 +950,10 @@ class SlamSystem:
                 # Wcp would be O(Nc*DC*Np*DP) — GBA must stay O(map))
                 return self._global_ba_chunked(window, prune=prune)
             fixed = []
-            pad_to = None                  # rare call; compile per size is fine
+            # bucket-pad even the "rare" whole-map call: device compiles are
+            # expensive (30-90 s through a remote-attached chip), and VI init
+            # runs this once per new keyframe while it polls
+            pad_to = int(np.ceil(len(window) / 8)) * 8
         else:
             window = self._ba_window_slots()
             # fixed observers: covisible KFs not in the window (strong edges
@@ -990,7 +997,8 @@ class SlamSystem:
             ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
             prev_idx = (len(window) if not force_all and prev_kf is not None
                         else None)
-            edges = self._imu_edges(all_slots, len(window), prev_idx=prev_idx)
+            edges = self._imu_edges(all_slots, len(window), prev_idx=prev_idx,
+                                    n_pad=len(all_slots))
             # a window that STARTS at a chain break (post-reloc island) has no
             # history edge anchoring its bias chain: weakly-observed bias axes
             # (optical-axis gyro bias under low roll texture) random-walk and
@@ -1061,7 +1069,7 @@ class SlamSystem:
         pt_mask = self.m.mp_active.astype(jnp.float32)
         if self.vi_inited:
             ns_w = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_ns)
-            edges = self._imu_edges(all_slots, n_real)
+            edges = self._imu_edges(all_slots, n_real, n_pad=pad_n)
             ns2, pts2, cost = ba_chunked.vi_gba_chunked(
                 ns_w, self.m.mp_pos, cobs, edges, self.cam, self.ext, self.gw,
                 jnp.asarray(free), pt_mask, iters=8, bf=self._bf)
@@ -1145,34 +1153,50 @@ class SlamSystem:
             kf_mp[s][bad[i]] = -1
         self.m = self.m._replace(kf_mp=jnp.asarray(kf_mp))
 
-    def _imu_edges(self, all_slots, n_window, prev_idx=None):
+    def _imu_edges(self, all_slots, n_window, prev_idx=None, n_pad=None):
         """PRV edges along consecutive window KFs (local index space).
 
         prev_idx: optional local index of the window front's (fixed) chain
         predecessor — adds the predecessor->front edge (the window front's own
         stored preintegration), anchoring the window's bias chain to history
-        (pKFPrevLocal edge, src/Optimizer.cpp LocalBAPRVIDP)."""
-        idx_i, idx_j, pres = [], [], []
-        if prev_idx is not None:
-            idx_i.append(prev_idx)
-            idx_j.append(0)
-            pres.append(jax.tree_util.tree_map(
-                lambda x: x[all_slots[0]], self.m.kf_preint))
-        for a, b in zip(range(n_window - 1), range(1, n_window)):
+        (pKFPrevLocal edge, src/Optimizer.cpp LocalBAPRVIDP).
+
+        n_pad: structural edge-list length (defaults to n_window). The edge
+        count must be a function of the PADDED window size, not the live one,
+        or every window-size change recompiles the whole BA program — fatal
+        when device compiles are expensive. The prev-edge slot is always
+        present structurally (valid=0 when unused) for the same reason."""
+        n_pad = n_pad if n_pad is not None else n_window
+        # slot 0: predecessor edge (structural; masked off when prev_idx None)
+        idx_i = [prev_idx if prev_idx is not None else 0]
+        idx_j = [0]
+        pres = [jax.tree_util.tree_map(
+            lambda x: x[all_slots[0]], self.m.kf_preint)]
+        ev = [1.0 if (prev_idx is not None
+                      and all_slots[0] not in self.broken_chain_slots) else 0.0]
+        for a, b in zip(range(n_pad - 1), range(1, n_pad)):
             idx_i.append(a)
             idx_j.append(b)
             pres.append(jax.tree_util.tree_map(
                 lambda x: x[all_slots[b]], self.m.kf_preint))
+            ev.append(1.0 if (b < n_window
+                              and all_slots[b] not in self.broken_chain_slots)
+                      else 0.0)
         pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
         info_prv = factors.imu_prv_info(pre)
         info_bias = factors.bias_rw_info(pre.dT, float(self.noise.sigma_bg),
                                          float(self.noise.sigma_ba))
-        ev = [0.0 if all_slots[b] in self.broken_chain_slots else 1.0
-              for b in idx_j]
+        evj = jnp.asarray(ev, jnp.float32)
+        # a structurally-present but masked edge can carry a degenerate preint
+        # (dT=0 identity) whose info is inf/NaN; 0 * inf = NaN would poison the
+        # system, so replace masked-edge infos with identity
+        sel = evj[:, None, None] > 0
+        info_prv = jnp.where(sel, info_prv, jnp.eye(9, dtype=info_prv.dtype))
+        info_bias = jnp.where(sel, info_bias, jnp.eye(6, dtype=info_bias.dtype))
         return ba_vi.IMUEdges(
             i=jnp.asarray(idx_i, jnp.int32), j=jnp.asarray(idx_j, jnp.int32),
             pre=pre, info_prv=info_prv, info_bias=info_bias,
-            valid=jnp.asarray(ev, jnp.float32))
+            valid=evj)
 
     def _cull_keyframes(self):
         """90% redundancy rule with VI time-gap guards (src/LocalMapping.cpp:1777):
@@ -1379,7 +1403,13 @@ class SlamSystem:
         # clean the visual map first (TryInitVIO runs a visual-only GBA at
         # src/LocalMapping.cpp:240 before the linear solves)
         self._local_ba(force_all=True)
-        ks = jnp.asarray(act, jnp.int32)
+        # pad the keyframe window to a 16-bucket so the init solve compiles a
+        # handful of shapes instead of one per keyframe count (the solvers are
+        # mask-aware: padded rows carry valid=0)
+        n_real = len(act)
+        pad_n = int(np.ceil(n_real / 16)) * 16
+        act_p = act + [act[-1]] * (pad_n - n_real)
+        ks = jnp.asarray(act_p, jnp.int32)
         # camera poses from body poses (body==camera pre-init)
         Rwb = self.m.kf_ns.R[ks]
         Pwb = self.m.kf_ns.P[ks]
@@ -1388,7 +1418,8 @@ class SlamSystem:
         Rwc = Rwb @ Rbc
         Pwc = Pwb + (Rwb @ pbc[..., None])[..., 0]
         pre = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
-        valid = jnp.asarray([0.0] + [1.0] * (len(act) - 1), jnp.float32)
+        valid = jnp.asarray([0.0] + [1.0] * (n_real - 1)
+                            + [0.0] * (pad_n - n_real), jnp.float32)
         import time as _time
         _t0 = _time.perf_counter()
         res = viinit.try_init_vio(Pwc, Rwc, pre, valid, self.ext.Rcb,
@@ -1429,6 +1460,11 @@ class SlamSystem:
         P_b, R_b, V = viinit.apply_init_to_navstates(
             Pwc, Rwc, self.ext.Rcb, self.ext.tcb, jnp.asarray(s),
             res.bg, res.ba, V)
+        # padded rows scatter onto the same slot as the last real row — they
+        # must carry its values, not pad garbage (shape-stable gather: the
+        # clamp index is data, so no per-count recompile)
+        row = jnp.minimum(jnp.arange(pad_n), jnp.asarray(n_real - 1))
+        P_b, R_b, V = P_b[row], R_b[row], V[row]
         ns = self.m.kf_ns
         z3 = jnp.zeros_like(V)
         ns = ns._replace(

@@ -154,3 +154,38 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
         jnp.where(feat_ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
     inlier = matched & (chi2 <= gate)
     return ns2, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in, H_marg
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
+                        ext: factors.Extrinsics, ns_cur0, ns_last,
+                        pre_last_cur, gw, prior_last: ba_vi.PriorFactor,
+                        iters: int = 20, sigma_bg=2e-5, sigma_ba=5e-3,
+                        feat_ur=None, bf=0.0,
+                        bias_jump_bg=0.05, bias_jump_ba=0.5):
+    """One fused per-frame VI tracking step: track_frame_vi plus everything the
+    host orchestrator needs afterwards — the bias-jump sanity flag, the
+    symmetrized/floored marginal prior, and the found/visible counter update —
+    so the host pulls ONE tiny summary vector per frame instead of four
+    separate device->host syncs (each a full round trip on a remote-attached
+    device).
+
+    Returns (ns2, feat_mp, H_prior, mp_found, mp_visible, summary) with
+    summary = [n_inliers, bias_jump] as float32; the counter arrays are only
+    valid if the host accepts this result (no fallback)."""
+    ns2, feat_mp, n_m, n_in, H_marg = track_frame_vi(
+        m, feats, uv_ideal, cam, ext, ns_cur0, ns_last, pre_last_cur, gw,
+        prior_last, iters=iters, sigma_bg=sigma_bg, sigma_ba=sigma_ba,
+        feat_ur=feat_ur, bf=bf)
+    # per-frame bias-step sanity (see SlamSystem._track_frame_vi): the random
+    # walk allows ~1e-3 between frames; far beyond that = poisoned solve
+    bias_jump = ((jnp.max(jnp.abs(ns2.dbg - ns_last.dbg)) > bias_jump_bg)
+                 | (jnp.max(jnp.abs(ns2.dba - ns_last.dba)) > bias_jump_ba))
+    H_prior = (0.5 * (H_marg + H_marg.T)
+               + 1e-3 * jnp.eye(15, dtype=H_marg.dtype))
+    vis = jnp.zeros(m.P, bool).at[
+        jnp.clip(feat_mp, 0, m.P - 1)].set(feat_mp >= 0, mode="drop")
+    fv = vis.astype(m.mp_found.dtype)
+    summary = jnp.stack([n_in.astype(jnp.float32),
+                         bias_jump.astype(jnp.float32)])
+    return ns2, feat_mp, H_prior, m.mp_found + fv, m.mp_visible + fv, summary

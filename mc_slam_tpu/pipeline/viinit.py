@@ -161,10 +161,15 @@ def compute_velocities(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
                        scale, gw, ba):
     """Step 4: per-keyframe body velocities (src/LocalMapping.cpp:601-647).
 
-    For k < N-1:  V_k = [s(wPc_{k+1} - wPc_k) + (Rwc_{k+1} - Rwc_k) pcb
-                         + Rwb_k (dp + Jpba ba) + 0.5 gw dt^2] / dt  — note the
-    reference writes this with a leading -1/dt and flipped (wPc - wPcnext); same.
-    Last KF: V_N = V_{N-1} + gw dt + Rwb_{N-1} (dv + Jvba ba).
+    For rows whose successor pair is valid:
+      V_k = [s(wPc_{k+1} - wPc_k) + (Rwc_{k+1} - Rwc_k) pcb
+             + Rwb_k (dp + Jpba ba) + 0.5 gw dt^2] / dt  — note the reference
+    writes this with a leading -1/dt and flipped (wPc - wPcnext); same.
+    Rows without a valid successor (the last real keyframe, and any trailing
+    padding) fall back to the IMU motion model from the previous row:
+      V_k = V_{k-1} + gw dt_k + Rwb_{k-1} (dv_k + Jvba ba).
+    Mask-aware so callers may pad the keyframe window to a fixed bucket size
+    (valid_pair[k] == 0 for pads) without recompiling per window length.
     """
     N = Pwc.shape[0]
     Rwb = Rwc @ Rcb
@@ -177,11 +182,15 @@ def compute_velocities(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
            - (Rwb[:-1] @ dp_next[..., None])[..., 0]
            - 0.5 * gw * dt_next * dt_next)
     dt_safe = jnp.where(dt_next > 1e-9, dt_next, jnp.ones_like(dt_next))
-    V = num / dt_safe
-    # last keyframe via the IMU motion model
-    dv_last = pre.dV[-1] + pre.J_V_ba[-1] @ ba
-    V_last = V[-1] + gw * pre.dT[-1] + Rwb[-2] @ dv_last
-    return jnp.concatenate([V, V_last[None]], axis=0)
+    V_fwd = jnp.concatenate([num / dt_safe, (num / dt_safe)[-1:]], axis=0)  # (N,3)
+    # motion-model fallback: V_k = V_fwd[k-1] + gw dT_k + Rwb_{k-1} dv_k
+    dv = pre.dV + (pre.J_V_ba @ ba)                       # (N,3) row k: k-1 -> k
+    V_mot = jnp.concatenate(
+        [V_fwd[:1],
+         V_fwd[:-1] + gw * pre.dT[1:, None]
+         + (Rwb[:-1] @ dv[1:, :, None])[..., 0]], axis=0)
+    valid_next = jnp.concatenate([valid_pair[1:], jnp.zeros(1, valid_pair.dtype)])
+    return jnp.where(valid_next[:, None] > 0, V_fwd, V_mot)
 
 
 def apply_init_to_navstates(Pwc, Rwc, Rcb, pcb, scale, bg, ba, V):

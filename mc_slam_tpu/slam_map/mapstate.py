@@ -104,6 +104,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapSt
     )
 
 
+@jax.jit
 def covisibility_weights(m: MapState, kf_slot):
     """Shared-map-point counts between `kf_slot` and every other KF — the
     covisibility weights of KeyFrame::UpdateConnections (src/KeyFrame.cpp:668),
@@ -120,6 +121,7 @@ def covisibility_weights(m: MapState, kf_slot):
     return kf_sees @ (this * m.mp_active)                 # (K,)
 
 
+@jax.jit
 def observation_counts(m: MapState):
     """(P,) number of keyframes observing each map point."""
     obs = ((m.kf_mp >= 0) & m.kf_feat_valid & m.kf_active[:, None])
