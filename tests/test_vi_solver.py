@@ -197,3 +197,32 @@ class TestVIInit:
         V = viinit.compute_velocities(Pwc, Rwc, pre, valid, jnp.eye(3), jnp.zeros(3),
                                       jnp.asarray(1.0), GW, jnp.zeros(3))
         np.testing.assert_allclose(np.asarray(V), V_true, atol=0.05)
+
+    def test_padded_init_matches_unpadded(self, rng):
+        """Bucket-padding the keyframe window (valid=0 rows duplicating the
+        last real keyframe) must not change any init output — the pipeline
+        pads to a fixed bucket so init attempts don't recompile per count."""
+        bg_true = np.array([0.01, -0.015, 0.02], np.float32)
+        kfs, pre, pts, obs = self._window(rng, N_kf=14, kf_dt=0.4, bg=bg_true)
+        Pwc = jnp.asarray(np.stack([k[1] for k in kfs]) / 2.0)
+        Rwc = jnp.asarray(np.stack([k[2] for k in kfs]))
+        valid = jnp.asarray([0.0] + [1.0] * 13, jnp.float32)
+        res = viinit.try_init_vio(Pwc, Rwc, pre, valid, jnp.eye(3),
+                                  jnp.zeros(3), g_mag=synth.G)
+        pad = 6
+        dup = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1], (pad,) + a.shape[1:])], 0)
+        pre_p = jax.tree_util.tree_map(dup, pre)
+        valid_p = jnp.concatenate([valid, jnp.zeros(pad)])
+        res_p = viinit.try_init_vio(dup(Pwc), dup(Rwc), pre_p, valid_p,
+                                    jnp.eye(3), jnp.zeros(3), g_mag=synth.G)
+        for a, b in zip(res, res_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        V = viinit.compute_velocities(Pwc, Rwc, pre, valid, jnp.eye(3),
+                                      jnp.zeros(3), res.scale, res.gw, res.ba)
+        V_p = viinit.compute_velocities(dup(Pwc), dup(Rwc), pre_p, valid_p,
+                                        jnp.eye(3), jnp.zeros(3), res_p.scale,
+                                        res_p.gw, res_p.ba)
+        np.testing.assert_allclose(np.asarray(V_p[:14]), np.asarray(V),
+                                   rtol=1e-4, atol=1e-5)
