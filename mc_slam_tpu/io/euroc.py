@@ -92,3 +92,16 @@ def load_gray_image(path):
         if img.ndim == 3:
             img = img.mean(axis=2)
         return img.astype(np.float32)
+
+
+def load_depth_image(path, scale=5000.0):
+    """Decode a 16-bit depth PNG (TUM-RGBD convention: millimeter-scale
+    uint16, factor 5000 per meter) to metric float32 WITHOUT the 8-bit
+    conversion that load_gray_image applies."""
+    try:
+        from PIL import Image
+        d = np.asarray(Image.open(path), np.float32)
+    except ImportError:
+        import imageio.v3 as iio
+        d = iio.imread(path).astype(np.float32)
+    return d / scale
