@@ -108,4 +108,5 @@ def load_system(path, sys):
         lambda a: a[sys.last_kf_slot], sys.m.kf_ns)
     sys.prior = None
     sys.velocity = (jnp.zeros(3), jnp.eye(3))
+    sys._invalidate_frame_caches()
     return sys

@@ -220,12 +220,16 @@ class SlamSystem:
                 # corrupt the carried biases
                 with self.timers.stage("relocalize"):
                     ok = self._relocalize(feats, uv, t)
+                    if ok:
+                        self._invalidate_frame_caches()
             else:
                 with self.timers.stage("track"):
                     ok = self._track_frame(feats, uv, t)
                 if not ok and self.state == LOST:
                     with self.timers.stage("relocalize"):
                         ok = self._relocalize(feats, uv, t)
+                        if ok:
+                            self._invalidate_frame_caches()
             if ok and not self.localization_only and self._need_new_kf():
                 with self.timers.stage("local_mapping"):
                     slot = self._create_keyframe(feats, uv, t)
@@ -234,22 +238,30 @@ class SlamSystem:
                     self._local_mapping()
                 with self.timers.stage("loop_closing"):
                     self._try_close_loop(slot)
+                self._invalidate_frame_caches()
             if ok and not self.vi_inited and cfg.use_imu:
                 with self.timers.stage("vi_init"):
                     self._maybe_vi_init(t)
+                    if self.vi_inited:
+                        self._invalidate_frame_caches()
         self.last_feats = feats
         self.last_time = t
         self.frame_id += 1
         if self.state == OK:
             P, R = np.asarray(self.last_pose[0]), np.asarray(self.last_pose[1])
             k = self.last_kf_slot
-            if k is not None and bool(self.m.kf_active[k]):
-                Pk = np.asarray(self.m.kf_ns.P[k])
-                Rk = np.asarray(self.m.kf_ns.R[k])
+            if k is not None and k in self.kf_slots:
+                # anchor pose pulled once per KF-rate event, not per frame
+                cache = getattr(self, "_anchor_cache", None)
+                if cache is None or cache[0] != k:
+                    cache = (k, int(self.m.kf_id[k]),
+                             np.asarray(self.m.kf_ns.P[k]),
+                             np.asarray(self.m.kf_ns.R[k]))
+                    self._anchor_cache = cache
+                _, kid, Pk, Rk = cache
                 P_rel = Rk.T @ (P - Pk)
                 R_rel = Rk.T @ R
-                self.trajectory.append((t, k, int(self.m.kf_id[k]),
-                                        P_rel, R_rel, P, R))
+                self.trajectory.append((t, k, kid, P_rel, R_rel, P, R))
             else:
                 self.trajectory.append((t, -1, -1, None, None, P, R))
         return ok
@@ -745,6 +757,7 @@ class SlamSystem:
         if len(self.reloc_buf) >= self.reloc_window:
             self._recompute_bias_from_window()
             self.reloc_buf = None
+            self._invalidate_frame_caches()
         return True
 
     def _recompute_bias_from_window(self):
@@ -808,6 +821,12 @@ class SlamSystem:
             self.last_pose = (nsl.P, nsl.R)
             self.prior = None
 
+    def _invalidate_frame_caches(self):
+        """Drop per-frame caches after any KF-rate map mutation (new KF, BA,
+        culling, loop correction, VI init, relocalization)."""
+        self._ref_tracked_cache = None
+        self._anchor_cache = None
+
     def _need_new_kf(self):
         cfg = self.cfg
         if self.reloc_buf is not None:
@@ -819,12 +838,17 @@ class SlamSystem:
             return True
         # ratio of current inliers vs reference-KF WELL-OBSERVED points
         # (TrackedMapPoints(nMinObs=3), src/Tracking.cpp:1893 — counting every
-        # association makes the ratio rule fire per-frame and flood the map)
-        mp_ref = self.m.kf_mp[self.last_kf_slot]
-        obs_n = observation_counts(self.m)
-        min_obs = 2 if len(self.kf_slots) <= 2 else 3
-        well = (mp_ref >= 0) & (obs_n[jnp.clip(mp_ref, 0, self.m.P - 1)] >= min_obs)
-        ref_tracked = int(jnp.sum(well))
+        # association makes the ratio rule fire per-frame and flood the map).
+        # The count only changes at KF-rate map mutations — cached between
+        # keyframes (tracking never edits keyframe observation rows)
+        if getattr(self, "_ref_tracked_cache", None) is None:
+            mp_ref = self.m.kf_mp[self.last_kf_slot]
+            obs_n = observation_counts(self.m)
+            min_obs = 2 if len(self.kf_slots) <= 2 else 3
+            well = ((mp_ref >= 0)
+                    & (obs_n[jnp.clip(mp_ref, 0, self.m.P - 1)] >= min_obs))
+            self._ref_tracked_cache = int(jnp.sum(well))
+        ref_tracked = self._ref_tracked_cache
         return (self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
                 and self._cur_inliers > 15)
 
@@ -1504,6 +1528,7 @@ class SlamSystem:
         reference runs it after loop closures; offline drivers may also call
         it once at sequence end before saving the trajectory)."""
         self._local_ba(force_all=True, prune=False)
+        self._invalidate_frame_caches()
 
     def get_trajectory(self):
         """[(t, P_wb (3,), R_wb (3,3))] per tracked frame, composed against the
