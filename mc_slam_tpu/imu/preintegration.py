@@ -165,6 +165,7 @@ def preintegrate(samples, bg, ba, noise: IMUNoise, init: PreintState | None = No
     return out
 
 
+@jax.jit
 def predict_navstate(ns, preint: PreintState, gw):
     """Propagate a NavState through a preintegrated delta (Converter::updateNS,
     src/Converter.cpp:10-36): with first-order bias correction using the stored

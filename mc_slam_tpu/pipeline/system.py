@@ -147,6 +147,10 @@ class SlamSystem:
         # VI-init diagnostic file streaming (plotinit.py-compatible)
         from mc_slam_tpu.utils.metrics import StageTimer
         self.timers = StageTimer()
+        # per-frame constants staged once (every eager jnp.asarray is a
+        # host->device upload on a remote-attached chip)
+        self._c0i = jnp.asarray(0, jnp.int32)
+        self._c1f = jnp.asarray(1.0, jnp.float32)
         self.viinit_log = None      # set to utils.metrics.VIInitLog(dir) to enable
 
     # ------------------------------------------------------------------
@@ -655,9 +659,6 @@ class SlamSystem:
         rows = rows[-cfg.max_imu_per_kf:]
         rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
         rawp[:len(rows)] = rows
-        pre = preintegrate(jnp.asarray(rawp), self.last_ns.bg_full,
-                           self.last_ns.ba_full, self.noise)
-        ns_pred = predict_navstate(self.last_ns, pre, self.gw)
         if self.prior is None:
             self.prior = ba_vi.PriorFactor(
                 cam=jnp.asarray(0, jnp.int32), ns0=self.last_ns,
@@ -667,8 +668,8 @@ class SlamSystem:
         # found/visible counters all on device; ONE small host pull per frame
         ns2, feat_mp, H_prior, mp_found, mp_vis, summary = \
             tracking.track_frame_vi_step(
-                self.m, feats, uv, self.cam, self.ext, ns_pred, self.last_ns,
-                pre, self.gw, self.prior,
+                self.m, feats, uv, self.cam, self.ext, jnp.asarray(rawp),
+                self.noise, self.last_ns, self.gw, self.prior,
                 sigma_bg=float(self.noise.sigma_bg),
                 sigma_ba=float(self.noise.sigma_ba),
                 feat_ur=self._cur_ur, bf=self._bf)
@@ -704,8 +705,7 @@ class SlamSystem:
         self.last_pose = (ns2.P, ns2.R)
         # next frame's prior: this frame's marginal information (+ floor)
         self.prior = ba_vi.PriorFactor(
-            cam=jnp.asarray(0, jnp.int32), ns0=ns2, info=H_prior,
-            valid=jnp.asarray(1.0, jnp.float32))
+            cam=self._c0i, ns0=ns2, info=H_prior, valid=self._c1f)
         self.imu_since_frame = []
         self._cur_feat_mp = feat_mp
         self._cur_inliers = n_in

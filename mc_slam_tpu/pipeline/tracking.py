@@ -158,21 +158,25 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
 
 @partial(jax.jit, static_argnames=("iters",))
 def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
-                        ext: factors.Extrinsics, ns_cur0, ns_last,
-                        pre_last_cur, gw, prior_last: ba_vi.PriorFactor,
+                        ext: factors.Extrinsics, rawp, noise, ns_last,
+                        gw, prior_last: ba_vi.PriorFactor,
                         iters: int = 20, sigma_bg=2e-5, sigma_ba=5e-3,
                         feat_ur=None, bf=0.0,
                         bias_jump_bg=0.05, bias_jump_ba=0.5):
-    """One fused per-frame VI tracking step: track_frame_vi plus everything the
-    host orchestrator needs afterwards — the bias-jump sanity flag, the
-    symmetrized/floored marginal prior, and the found/visible counter update —
-    so the host pulls ONE tiny summary vector per frame instead of four
-    separate device->host syncs (each a full round trip on a remote-attached
-    device).
+    """One fused per-frame VI tracking step: IMU preintegration + NavState
+    prediction + track_frame_vi plus everything the host orchestrator needs
+    afterwards — the bias-jump sanity flag, the symmetrized/floored marginal
+    prior, and the found/visible counter update — ONE device dispatch and ONE
+    tiny summary pull per frame (each extra eager op / host sync is a full
+    round trip on a remote-attached device).
 
-    Returns (ns2, feat_mp, H_prior, mp_found, mp_visible, summary) with
-    summary = [n_inliers, bias_jump] as float32; the counter arrays are only
-    valid if the host accepts this result (no fallback)."""
+    rawp: (T,7) zero-padded [gyro, acc, dt] rows since the last frame.
+    noise: IMUNoise. Returns (ns2, feat_mp, H_prior, mp_found, mp_visible,
+    summary) with summary = [n_inliers, bias_jump] as float32; the counter
+    arrays are only valid if the host accepts this result (no fallback)."""
+    from mc_slam_tpu.imu.preintegration import predict_navstate, preintegrate
+    pre_last_cur = preintegrate(rawp, ns_last.bg_full, ns_last.ba_full, noise)
+    ns_cur0 = predict_navstate(ns_last, pre_last_cur, gw)
     ns2, feat_mp, n_m, n_in, H_marg = track_frame_vi(
         m, feats, uv_ideal, cam, ext, ns_cur0, ns_last, pre_last_cur, gw,
         prior_last, iters=iters, sigma_bg=sigma_bg, sigma_ba=sigma_ba,
