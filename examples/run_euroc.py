@@ -104,8 +104,6 @@ def main():
     # keyframe trajectory + NavState dump
     kf_entries = []
     for s in slam.kf_slots:
-        if not bool(slam.m.kf_active[s]):
-            continue
         ns = slam.m.kf_ns
         kf_entries.append((float(slam.m.kf_time[s]), np.asarray(ns.P[s]),
                            np.asarray(ns.R[s]), np.asarray(ns.V[s]),

@@ -108,5 +108,10 @@ def load_system(path, sys):
         lambda a: a[sys.last_kf_slot], sys.m.kf_ns)
     sys.prior = None
     sys.velocity = (jnp.zeros(3), jnp.eye(3))
+    # rebuild host mirrors of immutable per-KF scalars (one batched pull)
+    kf_time = np.asarray(m.kf_time)
+    kf_id = np.asarray(m.kf_id)
+    sys.kf_time_host = {s: float(kf_time[s]) for s in sys.kf_slots}
+    sys.kf_id_host = {s: int(kf_id[s]) for s in sys.kf_slots}
     sys._invalidate_frame_caches()
     return sys

@@ -259,6 +259,18 @@ def kf_redundancy(m: MapState, kf_slot):
 
 
 @jax.jit
+def kf_redundancy_all(m: MapState):
+    """(ratio (K,), n_pts (K,)) redundancy for EVERY keyframe in one pass —
+    the culling loop pulls one array instead of dispatching per candidate."""
+    obs_n = observation_counts(m)
+    has = (m.kf_mp >= 0) & m.kf_feat_valid                 # (K, F)
+    mp = jnp.clip(m.kf_mp, 0, m.P - 1)
+    red = jnp.sum(has & (obs_n[mp] >= 4.0), axis=1).astype(jnp.float32)
+    n_pts = jnp.sum(has, axis=1)
+    return red / jnp.maximum(n_pts.astype(jnp.float32), 1.0), n_pts
+
+
+@jax.jit
 def deactivate_keyframe(m: MapState, kf_slot):
     """Remove a KF: clear its mask and feature associations. (IMU-chain splicing
     is done by the host, which owns the raw IMU buffers.)"""

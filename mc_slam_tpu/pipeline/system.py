@@ -97,6 +97,10 @@ class SlamSystem:
         self.free_slots: list[int] = []      # culled slots available for reuse
         self.next_fresh_slot = 0             # high-water mark of slot allocation
         self.kf_imu_raw: dict[int, np.ndarray] = {}  # slot -> (T,7) since prev KF
+        # host mirrors of immutable per-KF scalars (each bool()/float()/int()
+        # on a device element is a full round trip on a remote-attached chip)
+        self.kf_time_host: dict[int, float] = {}
+        self.kf_id_host: dict[int, int] = {}
 
         # per-frame state
         self.sensor_depth = False       # becomes True in stereo/RGB-D mode
@@ -258,7 +262,7 @@ class SlamSystem:
                 # anchor pose pulled once per KF-rate event, not per frame
                 cache = getattr(self, "_anchor_cache", None)
                 if cache is None or cache[0] != k:
-                    cache = (k, int(self.m.kf_id[k]),
+                    cache = (k, self.kf_id_host[k],
                              np.asarray(self.m.kf_ns.P[k]),
                              np.asarray(self.m.kf_ns.R[k]))
                     self._anchor_cache = cache
@@ -509,8 +513,8 @@ class SlamSystem:
         # the surviving parent, src/KeyFrame.cpp:195-252) — otherwise those
         # frames fall back to their track-time absolute pose and miss every
         # later correction (VI-init rescale, loop closures, GBA)
-        kid = int(self.m.kf_id[s2])
-        heir_id = int(self.m.kf_id[heir])
+        kid = self.kf_id_host[s2]
+        heir_id = self.kf_id_host[heir]
         Pk = np.asarray(self.m.kf_ns.P[s2])
         Rk = np.asarray(self.m.kf_ns.R[s2])
         Ph = np.asarray(self.m.kf_ns.P[heir])
@@ -529,6 +533,8 @@ class SlamSystem:
         self.m = mapping.deactivate_keyframe(self.m, jnp.asarray(s2))
         self.kf_slots.remove(s2)
         self.kf_imu_raw.pop(s2, None)
+        self.kf_time_host.pop(s2, None)
+        self.kf_id_host.pop(s2, None)
         self.broken_chain_slots.discard(s2)
         self.free_slots.append(s2)
 
@@ -573,6 +579,8 @@ class SlamSystem:
             kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
         )
         self.n_kf += 1
+        self.kf_time_host[slot] = float(t_kf)
+        self.kf_id_host[slot] = int(self.frame_id)
         if self._chain_break_pending:
             self.broken_chain_slots.add(slot)
             self._chain_break_pending = False
@@ -935,7 +943,7 @@ class SlamSystem:
         cfg = self.cfg
         slot = self.last_kf_slot
         if self.vi_inited:
-            act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+            act = list(self.kf_slots)
             w = act[-cfg.local_window:]
             for i in range(len(w) - 1, 0, -1):
                 if w[i] in self.broken_chain_slots:
@@ -968,7 +976,7 @@ class SlamSystem:
     def _local_ba(self, force_all=False, prune=True):
         cfg = self.cfg
         if force_all:
-            window = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+            window = list(self.kf_slots)
             if len(window) > 40:
                 # large map: landmark-chunked Schur at padded shapes (dense
                 # Wcp would be O(Nc*DC*Np*DP) — GBA must stay O(map))
@@ -991,7 +999,7 @@ class SlamSystem:
             # chain has no anchor to history and its weakly-observed axes walk
             prev_kf = None
             if self.vi_inited and window[0] not in self.broken_chain_slots:
-                act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+                act = list(self.kf_slots)
                 wi = act.index(window[0])
                 if wi > 0:
                     prev_kf = act[wi - 1]
@@ -1227,29 +1235,40 @@ class SlamSystem:
         never cull within 0.11 s of the current KF; gap(next, prev) must stay
         under 0.51 s, relaxed to 3.01 s for VI-inited KFs older than 4 s; the
         local-window front and its predecessor are protected."""
-        active = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
-        t_cur = float(self.m.kf_time[self.last_kf_slot])
-        protected = set()
-        if self.cfg.use_imu and len(active) > self.cfg.local_window:
-            wfront = len(active) - self.cfg.local_window
-            protected = {active[wfront], active[wfront - 1]}
-        for i, s in enumerate(active[1:-1], start=1):
-            if s in protected:
-                continue
-            if self.cfg.use_imu:
-                t_prev = float(self.m.kf_time[active[i - 1]])
-                t_next = float(self.m.kf_time[active[i + 1]])
-                t_s = float(self.m.kf_time[s])
-                if t_s >= t_cur - 0.11:
+        t_cur = self.kf_time_host[self.last_kf_slot]
+        # redundancy for every KF in ONE batched pass per removal round:
+        # each removal changes observation counts, so recompute before
+        # accepting the next candidate (matches the reference's sequential
+        # reevaluation) — zero-removal events cost exactly one device pull
+        while True:
+            active = list(self.kf_slots)
+            protected = set()
+            if self.cfg.use_imu and len(active) > self.cfg.local_window:
+                wfront = len(active) - self.cfg.local_window
+                protected = {active[wfront], active[wfront - 1]}
+            ratio_all, npts_all = map(np.asarray,
+                                      mapping.kf_redundancy_all(self.m))
+            removed = False
+            for i, s in enumerate(active[1:-1], start=1):
+                if s in protected:
                     continue
-                timegap = 0.51
-                if self.vi_inited and t_s < t_cur - 4.0:
-                    timegap = 3.01
-                if t_next - t_prev > timegap:
-                    continue
-            ratio, n_pts = mapping.kf_redundancy(self.m, jnp.asarray(s))
-            if float(ratio) > 0.9 and int(n_pts) > 20:
-                self._remove_keyframe(s)
+                if self.cfg.use_imu:
+                    t_prev = self.kf_time_host[active[i - 1]]
+                    t_next = self.kf_time_host[active[i + 1]]
+                    t_s = self.kf_time_host[s]
+                    if t_s >= t_cur - 0.11:
+                        continue
+                    timegap = 0.51
+                    if self.vi_inited and t_s < t_cur - 4.0:
+                        timegap = 3.01
+                    if t_next - t_prev > timegap:
+                        continue
+                if ratio_all[s] > 0.9 and npts_all[s] > 20:
+                    self._remove_keyframe(s)
+                    removed = True
+                    break
+            if not removed:
+                break
 
     def _splice_imu_chain(self, slot):
         """On KF removal, merge its raw IMU into the next KF and re-preintegrate
@@ -1278,7 +1297,7 @@ class SlamSystem:
         and refine against the map. Returns a TrackResult or None."""
         from mc_slam_tpu.frontend import matching as matching_mod
         k = self.last_kf_slot
-        if k is None or not bool(self.m.kf_active[k]):
+        if k is None or k not in self.kf_slots:
             return None
         mp_k = self.m.kf_mp[k]
         has = (mp_k >= 0) & self.m.kf_feat_valid[k]
@@ -1314,7 +1333,7 @@ class SlamSystem:
     def _relocalize(self, feats, uv, t):
         from mc_slam_tpu.frontend import matching as matching_mod
         cfg = self.cfg
-        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        act = list(self.kf_slots)
         if not act:
             return False
         q = np.asarray(bow.bow_histogram(feats.desc_pm1,
@@ -1377,7 +1396,7 @@ class SlamSystem:
             return
         if self.cfg.use_imu and not self.vi_inited:
             return
-        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        act = list(self.kf_slots)
         if len(act) < 8:
             return
         # cooldown after a closure (reference: mnLastLoopKFid + 10,
@@ -1416,7 +1435,7 @@ class SlamSystem:
         cfg = self.cfg
         if self.first_kf_time is None or t - self.first_kf_time < cfg.vi_init_time:
             return
-        act = [s for s in self.kf_slots if bool(self.m.kf_active[s])]
+        act = list(self.kf_slots)
         if len(act) < 8:
             return
         # only attempt once per new keyframe (the reference polls, but each
