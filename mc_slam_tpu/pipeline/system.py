@@ -606,11 +606,9 @@ class SlamSystem:
         cfg = self.cfg
         P_last, R_last = self.last_pose
         dP, dR = self.velocity
-        P0 = P_last + (R_last @ dP[..., None])[..., 0]
-        R0 = R_last @ dR
-        res = tracking.track_frame_visual(self.m, feats, uv, self.cam, self.ext,
-                                          P0, R0, feat_ur=self._cur_ur,
-                                          bf=self._bf)
+        res, vel, mp_found, mp_vis = tracking.track_frame_visual_step(
+            self.m, feats, uv, self.cam, self.ext, P_last, R_last, dP, dR,
+            feat_ur=self._cur_ur, bf=self._bf)
         n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
             # fallback: retry from last pose with a wide window
@@ -627,16 +625,21 @@ class SlamSystem:
                     self.state = LOST
                     return False
                 res, n_in = res2, int(res2.n_inliers)
-        # velocity model update (src/Tracking.cpp:1123-1134)
-        RlT = jnp.swapaxes(R_last, -1, -2)
-        self.velocity = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
+            # velocity model + counters for the fallback result
+            RlT = jnp.swapaxes(R_last, -1, -2)
+            vel = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
+            mp_found = mp_vis = None
+        self.velocity = vel                  # (src/Tracking.cpp:1123-1134)
         self.last_pose = (res.P, res.R)
         self._cur_feat_mp = res.feat_mp
         self._cur_inliers = n_in
-        # found/visible counters
-        vis_mask = jnp.zeros(self.m.P, bool).at[
-            jnp.clip(res.feat_mp, 0, self.m.P - 1)].set(res.feat_mp >= 0, mode="drop")
-        self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        if mp_found is None:
+            vis_mask = jnp.zeros(self.m.P, bool).at[
+                jnp.clip(res.feat_mp, 0, self.m.P - 1)].set(
+                    res.feat_mp >= 0, mode="drop")
+            self.m = mapping.update_found_visible(self.m, vis_mask, vis_mask)
+        else:
+            self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
         self.state = OK
         return True
 

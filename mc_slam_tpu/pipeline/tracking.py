@@ -108,6 +108,30 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
 
 
 @partial(jax.jit, static_argnames=("iters",))
+def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
+                            ext: factors.Extrinsics, P_last, R_last, dP, dR,
+                            iters: int = 20, feat_ur=None, bf=0.0):
+    """Fused per-frame visual step: velocity-model prediction +
+    track_frame_visual + velocity update + found/visible counters in one
+    program; the host pulls only n_inliers (remote-device round trips are the
+    latency floor of the driver loop, not compute).
+
+    dP/dR: the constant-velocity model in the last frame's body frame
+    (src/Tracking.cpp:1123-1134). Returns (res, (dP', dR'), mp_found,
+    mp_visible)."""
+    P0 = P_last + (R_last @ dP[..., None])[..., 0]
+    R0 = R_last @ dR
+    res = track_frame_visual(m, feats, uv_ideal, cam, ext, P0, R0,
+                             iters=iters, feat_ur=feat_ur, bf=bf)
+    RlT = jnp.swapaxes(R_last, -1, -2)
+    vel = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
+    vis = jnp.zeros(m.P, bool).at[
+        jnp.clip(res.feat_mp, 0, m.P - 1)].set(res.feat_mp >= 0, mode="drop")
+    fv = vis.astype(m.mp_found.dtype)
+    return res, vel, m.mp_found + fv, m.mp_visible + fv
+
+
+@partial(jax.jit, static_argnames=("iters",))
 def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
                    ext: factors.Extrinsics, ns_cur0, ns_last, pre_last_cur,
                    gw, prior_last: ba_vi.PriorFactor, radius_coarse=15.0,
