@@ -271,6 +271,18 @@ def kf_redundancy_all(m: MapState):
 
 
 @jax.jit
+def prune_associations(m: MapState, ks, chi2, valid, gate):
+    """Clear feature->map-point associations whose post-BA chi2 exceeds the
+    gate (the reference's outlier removal after local BA). ks: (n,) window
+    slots aligned with the (n*F,) flat chi2/valid; gate: scalar or (n*F,)
+    per-observation threshold. Duplicate (padded) slots write identical rows."""
+    bad = (chi2 > gate * 1.5) & (valid > 0)
+    bad = bad.reshape(ks.shape[0], -1)
+    rows = jnp.where(bad, -1, m.kf_mp[ks])
+    return m._replace(kf_mp=m.kf_mp.at[ks].set(rows))
+
+
+@jax.jit
 def deactivate_keyframe(m: MapState, kf_slot):
     """Remove a KF: clear its mask and feature associations. (IMU-chain splicing
     is done by the host, which owns the raw IMU buffers.)"""

@@ -881,7 +881,7 @@ class SlamSystem:
         keeps the max-weight edge regardless)."""
         w = np.array(covisibility_weights(self.m, slot))
         w[slot] = 0
-        w = w * np.asarray(self.m.kf_active)
+        w = w * self._active_mask()
         order = np.argsort(-w)
         out = [int(k) for k in order[:n] if w[k] >= self.cfg.covis_th]
         if not out and w[order[0]] > 0:
@@ -890,13 +890,20 @@ class SlamSystem:
             out = [int(order[0])]
         return out
 
+    def _active_mask(self):
+        """(K,) host float mask of active keyframe slots (from kf_slots — no
+        device pull)."""
+        mask = np.zeros(self.cfg.max_kf, np.float32)
+        mask[list(self.kf_slots)] = 1.0
+        return mask
+
     def _covisible_strong(self, slot, n):
         """Covisible neighbors that clear covis_th — no max-weight fallback.
         Used where a weakly-connected neighbor would do harm (e.g. as the only
         gauge-fixing observer of a local BA window)."""
         w = np.array(covisibility_weights(self.m, slot))
         w[slot] = 0
-        w = w * np.asarray(self.m.kf_active)
+        w = w * self._active_mask()
         order = np.argsort(-w)
         return [int(k) for k in order[:n] if w[k] >= self.cfg.covis_th]
 
@@ -1178,15 +1185,10 @@ class SlamSystem:
         return ns2, mp_pos, chi2, idp_valid
 
     def _prune_obs(self, slots, obs, chi2):
-        gate = ba.CHI2_MONO if obs.ur is None else \
-            np.where(np.asarray(obs.ur) >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
-        bad = (np.asarray(chi2) > gate * 1.5) & (np.asarray(obs.valid) > 0)
-        Fn = self.m.F
-        bad = np.asarray(bad).reshape(len(slots), Fn)
-        kf_mp = np.array(self.m.kf_mp)
-        for i, s in enumerate(slots):
-            kf_mp[s][bad[i]] = -1
-        self.m = self.m._replace(kf_mp=jnp.asarray(kf_mp))
+        gate = jnp.asarray(ba.CHI2_MONO) if obs.ur is None else \
+            jnp.where(obs.ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
+        self.m = mapping.prune_associations(
+            self.m, jnp.asarray(slots, jnp.int32), chi2, obs.valid, gate)
 
     def _imu_edges(self, all_slots, n_window, prev_idx=None, n_pad=None):
         """PRV edges along consecutive window KFs (local index space).
@@ -1205,19 +1207,20 @@ class SlamSystem:
         # slot 0: predecessor edge (structural; masked off when prev_idx None)
         idx_i = [prev_idx if prev_idx is not None else 0]
         idx_j = [0]
-        pres = [jax.tree_util.tree_map(
-            lambda x: x[all_slots[0]], self.m.kf_preint)]
+        slots_j = [all_slots[0]]
         ev = [1.0 if (prev_idx is not None
                       and all_slots[0] not in self.broken_chain_slots) else 0.0]
         for a, b in zip(range(n_pad - 1), range(1, n_pad)):
             idx_i.append(a)
             idx_j.append(b)
-            pres.append(jax.tree_util.tree_map(
-                lambda x: x[all_slots[b]], self.m.kf_preint))
+            slots_j.append(all_slots[b])
             ev.append(1.0 if (b < n_window
                               and all_slots[b] not in self.broken_chain_slots)
                       else 0.0)
-        pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        # one batched gather per preint leaf (a per-edge tree_map issues
+        # hundreds of tiny device ops on a remote-attached chip)
+        ksj = jnp.asarray(slots_j, jnp.int32)
+        pre = jax.tree_util.tree_map(lambda x: x[ksj], self.m.kf_preint)
         info_prv = factors.imu_prv_info(pre)
         info_bias = factors.bias_rw_info(pre.dT, float(self.noise.sigma_bg),
                                          float(self.noise.sigma_ba))
