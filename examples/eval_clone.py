@@ -87,10 +87,14 @@ def main():
         times.append(time.perf_counter() - t0)
         n += 1
         if n % 200 == 0:
+            stages = " ".join(
+                f"{k}={v['median_ms']:.0f}/{v['n']}"
+                for k, v in slam.timers.summary().items())
             print(f"frame {n}: state={slam.state} kf={len(slam.kf_slots)} "
                   f"mp={int(slam.m.mp_active.sum())} vi={slam.vi_inited} "
                   f"loops={slam.n_loops_closed} "
-                  f"median={np.median(times)*1e3:.0f}ms", file=sys.stderr)
+                  f"median={np.median(times)*1e3:.0f}ms [{stages}]",
+                  file=sys.stderr)
 
     # one-frame lookahead: the NEXT frame's (uint8) host->device upload is
     # issued before tracking the current frame so the transfer overlaps compute
