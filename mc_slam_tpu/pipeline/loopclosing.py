@@ -21,7 +21,8 @@ import numpy as np
 from mc_slam_tpu import lie
 from mc_slam_tpu.frontend import bow, matching
 from mc_slam_tpu.geometry import sim3solver
-from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights
+from mc_slam_tpu.slam_map.mapstate import (MapState, covisibility_matrix,
+                                           covisibility_weights)
 from mc_slam_tpu.solver import posegraph
 
 
@@ -49,18 +50,22 @@ class LoopDetector:
         is fragile when place-recognition scores are flat, since unrelated
         false candidates reset the streak of the true one."""
         q = self.hists[slot]
-        covis = np.array(covisibility_weights(m, jnp.asarray(slot)))
+        # FULL covisibility matrix in one device pass: detection consumes a
+        # row per candidate, and per-row recomputation is a dispatch+pull each
+        W = np.asarray(covisibility_matrix(m))
+        covis = W[slot].copy()
         covis[slot] = 0
         # min score among covisible keyframes (reference minScore)
         cov_slots = [k for k in np.nonzero(covis >= 15)[0] if k != slot]
         min_score = min((float(self.hists[k] @ q) for k in cov_slots), default=0.3)
         scores = self.hists @ q
+        kf_ids = np.asarray(m.kf_id)
         # exclusion mirrors the reference's connected-set test
         # (GetConnectedKeyFrames, weight >= 15 per UpdateConnections): a
         # weight-1 accidental fuse association must not veto a true revisit
         cands = [k for k in kf_slots
                  if k != slot and covis[k] < 15
-                 and abs(int(m.kf_id[slot]) - int(m.kf_id[k])) >= min_gap
+                 and abs(int(kf_ids[slot]) - int(kf_ids[k])) >= min_gap
                  and scores[k] >= max(min_score, 0.05)]
         if not cands:
             self.consistent_groups = []
@@ -69,8 +74,7 @@ class LoopDetector:
         enough: list[tuple[float, int]] = []
         rest: list[tuple[float, int]] = []
         for k in cands:
-            group = frozenset({k} | {int(x) for x in np.nonzero(
-                np.array(covisibility_weights(m, jnp.asarray(k))) >= 15)[0]})
+            group = frozenset({k} | {int(x) for x in np.nonzero(W[k] >= 15)[0]})
             streak = 0
             for pg, pc in self.consistent_groups:
                 if pg & group:

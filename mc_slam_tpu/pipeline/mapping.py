@@ -208,7 +208,11 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
 @jax.jit
 def fuse_into_keyframe(m: MapState, kf_src, kf_dst, cam: Camera,
                        ext: factors.Extrinsics, radius=3.0,
-                       max_dist=matching.TH_LOW):
+                       max_dist=matching.TH_LOW, obs_n=None):
+    """obs_n: optional precomputed observation_counts(m). The fusion round
+    over N neighbors may pass counts computed once at round start — the
+    arbitration ("keep the better-observed point") tolerates counts a few
+    associations stale, and the O(K*P) scatter is the dominant cost here."""
     mp_of_src = jnp.where(m.kf_feat_valid[kf_src], m.kf_mp[kf_src], -1)   # (F,)
     src_has = mp_of_src >= 0
     mp_idx = jnp.clip(mp_of_src, 0, m.P - 1)
@@ -230,7 +234,8 @@ def fuse_into_keyframe(m: MapState, kf_src, kf_dst, cam: Camera,
     fidx, best, ok = matching.match_nn(dist, gate, max_dist=max_dist)
     ok = matching.resolve_duplicates(fidx, best, ok, m.F)
 
-    obs_n = observation_counts(m)
+    if obs_n is None:
+        obs_n = observation_counts(m)
     cur_mp = m.kf_mp[kf_dst]                                  # (F,)
     tgt_feat = jnp.where(ok, fidx, m.F)
     # association decision at the target feature: keep the better-observed point

@@ -916,12 +916,17 @@ class SlamSystem:
         for nb in self._covisible(slot, 4):
             self.m, n_new = mapping.create_points_with_neighbor(
                 self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext)
-        # fuse with first-order neighbors
+        # fuse with first-order neighbors (observation counts computed once
+        # for the round — the better-observed arbitration tolerates staleness)
+        from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
+        obs_n = _oc(self.m)
         for nb in self._covisible(slot, 4):
-            self.m, _ = mapping.fuse_into_keyframe(self.m, jnp.asarray(slot),
-                                                   jnp.asarray(nb), self.cam, self.ext)
-            self.m, _ = mapping.fuse_into_keyframe(self.m, jnp.asarray(nb),
-                                                   jnp.asarray(slot), self.cam, self.ext)
+            self.m, _ = mapping.fuse_into_keyframe(
+                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam,
+                self.ext, obs_n=obs_n)
+            self.m, _ = mapping.fuse_into_keyframe(
+                self.m, jnp.asarray(nb), jnp.asarray(slot), self.cam,
+                self.ext, obs_n=obs_n)
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
         # after fusion in the reference, src/LocalMapping.cpp:1550)

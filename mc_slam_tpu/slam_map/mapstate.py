@@ -122,6 +122,21 @@ def covisibility_weights(m: MapState, kf_slot):
 
 
 @jax.jit
+def covisibility_matrix(m: MapState):
+    """(K, K) shared-map-point counts between every keyframe pair — one
+    membership build + one MXU matmul. Loop detection consumes whole rows per
+    candidate; computing them one at a time costs a dispatch+pull each."""
+    P = m.P
+    obs = (m.kf_mp >= 0) & m.kf_feat_valid
+    kf_sees = jnp.zeros((m.K, P), jnp.float32)
+    flat_k = jnp.repeat(jnp.arange(m.K), m.F)
+    flat_p = jnp.clip(m.kf_mp.reshape(-1), 0, P - 1)
+    kf_sees = kf_sees.at[flat_k, flat_p].max(obs.reshape(-1).astype(jnp.float32))
+    kf_sees = kf_sees * m.mp_active[None, :] * m.kf_active[:, None]
+    return kf_sees @ kf_sees.T
+
+
+@jax.jit
 def observation_counts(m: MapState):
     """(P,) number of keyframes observing each map point."""
     obs = ((m.kf_mp >= 0) & m.kf_feat_valid & m.kf_active[:, None])

@@ -76,10 +76,11 @@ def _robust_cost(r, z, inv_sigma2, valid, delta2):
 # Pose-only optimization (tracking hot path)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
                      ext: factors.Extrinsics, iters: int = 40,
-                     huber_delta2: float = CHI2_MONO, bf=0.0):
+                     huber_delta2: float = CHI2_MONO, bf=0.0,
+                     rtol: float = 1e-4):
     """Optimize a single body pose against fixed world points.
 
     P0 (3,), R0 (3,3); pts_w (Np,3) fixed. obs.cam is ignored (single pose).
@@ -110,7 +111,8 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
         P, R = x
         return (P + dx[:3], R @ lie.so3_exp(dx[3:6]))
 
-    (P, R), cost, _ = lm.lm_optimize((P0, R0), linearize_solve, retract, cost_fn, iters)
+    (P, R), cost, _ = lm.lm_optimize((P0, R0), linearize_solve, retract, cost_fn,
+                                     iters, rtol=rtol)
     r, _, _, z, d2 = per_obs(P, R)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     inlier = (chi2 <= d2) & (z > 0) & (obs.valid > 0)

@@ -194,12 +194,12 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
     return ns, pts, chi2, cost
 
 
-@partial(jax.jit, static_argnames=("iters", "compute_marg"))
+@partial(jax.jit, static_argnames=("iters", "compute_marg", "rtol"))
 def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState,
                  pts_w, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
                  gw, prior_last: PriorFactor, info_prv, info_bias,
                  iters: int = 40, huber_delta2: float = CHI2_MONO,
-                 compute_marg: bool = True, bf=0.0):
+                 compute_marg: bool = True, bf=0.0, rtol: float = 1e-4):
     """Tracking-time VI pose optimization of (last, current) frame pair.
 
     Mirrors Optimizer::PoseOptimization (src/Optimizer.cpp:1671-2041): both frames
@@ -244,7 +244,11 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
         H, g = build(ns)
         return lm.solve_cam_system(H, g, lam, free)
 
-    ns, cost, _ = lm.lm_optimize(ns0, linearize_solve, retract_states, cost_fn, iters)
+    # rtol early-exit: a converged frame typically stops after ~5 of the 20
+    # iterations; remaining scan steps take the lax.cond no-op branch
+    # (tracking is the latency-critical 20 Hz path, src/Optimizer.cpp 4x10)
+    ns, cost, _ = lm.lm_optimize(ns0, linearize_solve, retract_states, cost_fn,
+                                 iters, rtol=rtol)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
 
     r, _, _, z, d2_f = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
