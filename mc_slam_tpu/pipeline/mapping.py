@@ -48,6 +48,25 @@ def cull_map_points(m: MapState, current_kf_id, min_obs=3):
     return m._replace(mp_active=new_active, kf_mp=kf_mp), jnp.sum(deactivate)
 
 
+@jax.jit
+def cull_orphans(m: MapState, current_kf_id, min_age=30):
+    """Capacity-pressure sweep: deactivate long-lived points with <=1
+    observer. The reference deletes such points eagerly
+    (MapPoint::EraseObservation -> SetBadFlag at nObs<=2); in a fixed-capacity
+    table they otherwise accumulate as zombies until triangulation starves
+    for free slots (observed as tracking loss at map capacity on long runs).
+    Run ONLY under slot pressure — a standing orphan rule erases points
+    faster than triangulation rebuilds them when pruning is aggressive."""
+    obs_n = observation_counts(m)
+    age = current_kf_id - m.mp_first_kf
+    bad = m.mp_active & (obs_n <= 1) & (age > min_age)
+    new_active = m.mp_active & ~bad
+    mp_ok = jnp.concatenate([new_active, jnp.asarray([False])])
+    kf_mp = jnp.where(mp_ok[jnp.clip(m.kf_mp, -1, m.P - 1)] & (m.kf_mp >= 0),
+                      m.kf_mp, -1)
+    return m._replace(mp_active=new_active, kf_mp=kf_mp), jnp.sum(bad)
+
+
 # ---------------------------------------------------------------------------
 # New map points: triangulate epipolar matches between the new KF and a
 # neighbor KF. One neighbor per call (host loops over top-N covisible KFs).

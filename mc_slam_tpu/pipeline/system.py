@@ -912,15 +912,23 @@ class SlamSystem:
         slot = self.last_kf_slot
         self.m, _ = mapping.cull_map_points(self.m, jnp.asarray(self.frame_id),
                                             jnp.asarray(self.cfg.cull_min_obs))
+        # landmark-table pressure: sweep orphaned points (<=1 observer) when
+        # >90% of slots are taken, so triangulation never starves for slots
+        if int(jnp.sum(self.m.mp_active)) > 0.9 * self.m.P:
+            self.m, _ = mapping.cull_orphans(self.m, jnp.asarray(self.frame_id))
+        # one covisibility pass serves triangulation, fusion and the stats
+        # refresh (each _covisible is a device sync; within one KF event the
+        # neighbor ranking shifts by at most a few freshly-fused points)
+        nbs = self._covisible(slot, 7)
         # triangulate with top covisible neighbors
-        for nb in self._covisible(slot, 4):
+        for nb in nbs[:4]:
             self.m, n_new = mapping.create_points_with_neighbor(
                 self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext)
         # fuse with first-order neighbors (observation counts computed once
         # for the round — the better-observed arbitration tolerates staleness)
         from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
         obs_n = _oc(self.m)
-        for nb in self._covisible(slot, 4):
+        for nb in nbs[:4]:
             self.m, _ = mapping.fuse_into_keyframe(
                 self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam,
                 self.ext, obs_n=obs_n)
@@ -930,7 +938,6 @@ class SlamSystem:
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
         # after fusion in the reference, src/LocalMapping.cpp:1550)
-        nbs = self._covisible(slot, 7)
         wslots = ([slot] + nbs + [slot] * 7)[:8]
         wvalid = [True] * (1 + len(nbs)) + [False] * 7
         self.m = mapping.refresh_point_stats(
