@@ -79,7 +79,8 @@ class TriangulationBudget(NamedTuple):
 @partial(jax.jit, static_argnames=("max_new",))
 def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
                                 ext: factors.Extrinsics, max_new: int = 256,
-                                max_dist=matching.TH_LOW, min_parallax_cos=0.99996):
+                                max_dist=matching.TH_LOW, min_parallax_cos=0.99996,
+                                n_levels=8):
     """Triangulate new landmarks from unassociated features of KF a vs KF b.
 
     Mirrors CreateNewMapPoints (src/LocalMapping.cpp:1241): match free features
@@ -187,7 +188,7 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     dist_a = jnp.linalg.norm(Xw[order] - Cwa, axis=-1)
     lvl = m.kf_level[kf_a][order].astype(jnp.float32)
     max_d = dist_a * (1.2 ** lvl)
-    min_d = max_d / (1.2 ** 7)
+    min_d = max_d / (1.2 ** (n_levels - 1))
     normal = (Xw[order] - Cwa) / jnp.maximum(dist_a, 1e-9)[:, None]
 
     mp_pos = m.mp_pos.at[slots].set(Xw[order], mode="drop")

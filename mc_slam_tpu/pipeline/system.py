@@ -66,8 +66,15 @@ class SlamConfig:
     # early-termination threshold for window-BA LM iterations: once an accepted
     # step improves cost by < ba_rtol relative, the remaining scan iterations
     # no-op (the synchronous analog of the reference's mbAbortBA budget,
-    # src/LocalMapping.cpp:1112). 0 disables.
-    ba_rtol: float = 1e-4
+    # src/LocalMapping.cpp:1112). 0 disables. CAUTION: monocular-VI scale is a
+    # low-gradient mode — relative-cost early exit can leave it under-
+    # converged every window and the map scale drifts; keep 0 unless the
+    # mapping budget demands it.
+    ba_rtol: float = 0.0
+    # per-frame pose-only LM early-exit (same mechanism, tracking path)
+    track_rtol: float = 0.0
+    # refresh distinctive descriptors + normals/scale ranges after fusion
+    refresh_stats: bool = True
     stereo_baseline: float = 0.11   # meters (EuRoC-like rig)
     cull_min_obs: int = 3           # 3 mono, 2 for depth sensors (nThObs)
     seed: int = 0
@@ -608,7 +615,7 @@ class SlamSystem:
         dP, dR = self.velocity
         res, vel, mp_found, mp_vis = tracking.track_frame_visual_step(
             self.m, feats, uv, self.cam, self.ext, P_last, R_last, dP, dR,
-            feat_ur=self._cur_ur, bf=self._bf)
+            feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol)
         n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
             # fallback: retry from last pose with a wide window
@@ -683,7 +690,7 @@ class SlamSystem:
                 self.noise, self.last_ns, self.gw, self.prior,
                 sigma_bg=float(self.noise.sigma_bg),
                 sigma_ba=float(self.noise.sigma_ba),
-                feat_ur=self._cur_ur, bf=self._bf)
+                feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol)
         summary = np.asarray(summary)
         n_in = int(summary[0])
         # sanity gate on the per-frame bias step: the bias random walk allows
@@ -923,7 +930,8 @@ class SlamSystem:
         # triangulate with top covisible neighbors
         for nb in nbs[:4]:
             self.m, n_new = mapping.create_points_with_neighbor(
-                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext)
+                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext,
+                n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
         # fuse with first-order neighbors (observation counts computed once
         # for the round — the better-observed arbitration tolerates staleness)
         from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
@@ -938,12 +946,13 @@ class SlamSystem:
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
         # after fusion in the reference, src/LocalMapping.cpp:1550)
-        wslots = ([slot] + nbs + [slot] * 7)[:8]
-        wvalid = [True] * (1 + len(nbs)) + [False] * 7
-        self.m = mapping.refresh_point_stats(
-            self.m, jnp.asarray(wslots, jnp.int32),
-            jnp.asarray(wvalid[:8]), self.ext,
-            n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
+        if cfg.refresh_stats:
+            wslots = ([slot] + nbs + [slot] * 7)[:8]
+            wvalid = [True] * (1 + len(nbs)) + [False] * 7
+            self.m = mapping.refresh_point_stats(
+                self.m, jnp.asarray(wslots, jnp.int32),
+                jnp.asarray(wvalid[:8]), self.ext,
+                n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
         self._local_ba()
         self._cull_keyframes()
         # keep the tracking state synced to the (BA-updated) newest KF

@@ -58,11 +58,11 @@ def predict_level(m: MapState, P, dist_scale=1.2, n_levels=8):
     return jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
                        ext: factors.Extrinsics, P0, R0, radius_coarse=15.0,
                        radius_fine=4.0, iters: int = 20, inv_sigma2=None,
-                       feat_ur=None, bf=0.0):
+                       feat_ur=None, bf=0.0, rtol: float = 0.0):
     """Two-round project→match→optimize against the active map.
 
     uv_ideal: (F,2) undistorted feature pixels. feat_ur: optional (F,) observed
@@ -96,7 +96,8 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
             valid=matched.astype(jnp.float32),
             ur=feat_ur)
         Pn, Rn, chi2, n_in = ba.pose_only_visual(P, R, m.mp_pos, obs, cam, ext,
-                                                 iters=lam_iters, bf=bf)
+                                                 iters=lam_iters, bf=bf,
+                                                 rtol=rtol)
         gate = ba.CHI2_MONO if feat_ur is None else \
             jnp.where(feat_ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
         inlier = matched & (chi2 <= gate)
@@ -107,10 +108,11 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
     return TrackResult(P=P2, R=R2, feat_mp=fmp2, n_matches=nm2, n_inliers=ni2)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
                             ext: factors.Extrinsics, P_last, R_last, dP, dR,
-                            iters: int = 20, feat_ur=None, bf=0.0):
+                            iters: int = 20, feat_ur=None, bf=0.0,
+                            rtol: float = 0.0):
     """Fused per-frame visual step: velocity-model prediction +
     track_frame_visual + velocity update + found/visible counters in one
     program; the host pulls only n_inliers (remote-device round trips are the
@@ -122,7 +124,7 @@ def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     P0 = P_last + (R_last @ dP[..., None])[..., 0]
     R0 = R_last @ dR
     res = track_frame_visual(m, feats, uv_ideal, cam, ext, P0, R0,
-                             iters=iters, feat_ur=feat_ur, bf=bf)
+                             iters=iters, feat_ur=feat_ur, bf=bf, rtol=rtol)
     RlT = jnp.swapaxes(R_last, -1, -2)
     vel = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
     vis = jnp.zeros(m.P, bool).at[
@@ -131,12 +133,13 @@ def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     return res, vel, m.mp_found + fv, m.mp_visible + fv
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
                    ext: factors.Extrinsics, ns_cur0, ns_last, pre_last_cur,
                    gw, prior_last: ba_vi.PriorFactor, radius_coarse=15.0,
                    radius_fine=4.0, iters: int = 20,
-                   sigma_bg=2e-5, sigma_ba=5e-3, feat_ur=None, bf=0.0):
+                   sigma_bg=2e-5, sigma_ba=5e-3, feat_ur=None, bf=0.0,
+                   rtol: float = 0.0):
     """VI tracking: IMU-predicted pose, projection search, joint (last,cur)
     optimization with IMU + prior factors, marginal extraction
     (TrackWithIMU + TrackLocalMapWithIMU, src/Tracking.cpp:224-412).
@@ -169,24 +172,26 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
     obs1, _, _ = search(ns_cur0.P, ns_cur0.R, radius_coarse)
     ns1, chi2_1, nin1, _ = ba_vi.pose_only_vi(
         ns_cur0, ns_last, pre_last_cur, m.mp_pos, obs1, cam, ext, gw,
-        prior_last, info_prv, info_bias, iters=iters, compute_marg=False, bf=bf)
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=False,
+        bf=bf, rtol=rtol)
     obs2, feat_mp, matched = search(ns1.P, ns1.R, radius_fine)
     ns2, chi2, n_in, H_marg = ba_vi.pose_only_vi(
         ns1, ns_last, pre_last_cur, m.mp_pos, obs2, cam, ext, gw,
-        prior_last, info_prv, info_bias, iters=iters, compute_marg=True, bf=bf)
+        prior_last, info_prv, info_bias, iters=iters, compute_marg=True,
+        bf=bf, rtol=rtol)
     gate = ba.CHI2_MONO if feat_ur is None else \
         jnp.where(feat_ur >= 0, ba.CHI2_STEREO, ba.CHI2_MONO)
     inlier = matched & (chi2 <= gate)
     return ns2, jnp.where(inlier, feat_mp, -1), jnp.sum(matched), n_in, H_marg
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "rtol"))
 def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
                         ext: factors.Extrinsics, rawp, noise, ns_last,
                         gw, prior_last: ba_vi.PriorFactor,
                         iters: int = 20, sigma_bg=2e-5, sigma_ba=5e-3,
                         feat_ur=None, bf=0.0,
-                        bias_jump_bg=0.05, bias_jump_ba=0.5):
+                        bias_jump_bg=0.05, bias_jump_ba=0.5, rtol: float = 0.0):
     """One fused per-frame VI tracking step: IMU preintegration + NavState
     prediction + track_frame_vi plus everything the host orchestrator needs
     afterwards — the bias-jump sanity flag, the symmetrized/floored marginal
@@ -204,7 +209,7 @@ def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     ns2, feat_mp, n_m, n_in, H_marg = track_frame_vi(
         m, feats, uv_ideal, cam, ext, ns_cur0, ns_last, pre_last_cur, gw,
         prior_last, iters=iters, sigma_bg=sigma_bg, sigma_ba=sigma_ba,
-        feat_ur=feat_ur, bf=bf)
+        feat_ur=feat_ur, bf=bf, rtol=rtol)
     # per-frame bias-step sanity (see SlamSystem._track_frame_vi): the random
     # walk allows ~1e-3 between frames; far beyond that = poisoned solve
     bias_jump = ((jnp.max(jnp.abs(ns2.dbg - ns_last.dbg)) > bias_jump_bg)

@@ -80,7 +80,7 @@ def _robust_cost(r, z, inv_sigma2, valid, delta2):
 def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
                      ext: factors.Extrinsics, iters: int = 40,
                      huber_delta2: float = CHI2_MONO, bf=0.0,
-                     rtol: float = 1e-4):
+                     rtol: float = 0.0):
     """Optimize a single body pose against fixed world points.
 
     P0 (3,), R0 (3,3); pts_w (Np,3) fixed. obs.cam is ignored (single pose).

@@ -199,7 +199,7 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
                  pts_w, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
                  gw, prior_last: PriorFactor, info_prv, info_bias,
                  iters: int = 40, huber_delta2: float = CHI2_MONO,
-                 compute_marg: bool = True, bf=0.0, rtol: float = 1e-4):
+                 compute_marg: bool = True, bf=0.0, rtol: float = 0.0):
     """Tracking-time VI pose optimization of (last, current) frame pair.
 
     Mirrors Optimizer::PoseOptimization (src/Optimizer.cpp:1671-2041): both frames
