@@ -370,6 +370,12 @@ def refresh_point_stats(m: MapState, slots, slot_valid,
     best_w = jnp.argmin(med, -1)                               # (F,)
     new_pm1 = jnp.take_along_axis(pm1_w, best_w[:, None, None], axis=1)[:, 0]
     new_desc = jnp.take_along_axis(desc_w, best_w[:, None, None], axis=1)[:, 0]
+    # the representative's IC angle must travel with the descriptor: the
+    # rotation-consistency histogram compares feat_angle - mp_angle, and a
+    # descriptor/angle mismatch scatters true matches out of the dominant bins
+    ang_w = jnp.swapaxes(
+        jnp.take_along_axis(m.kf_angle[slots], fi.T, axis=1), 0, 1)  # (F, W)
+    new_angle = jnp.take_along_axis(ang_w, best_w[:, None], axis=1)[:, 0]
 
     # mean viewing normal over window observations (UpdateNormalAndDepth)
     Rbc = jnp.swapaxes(ext.Rcb, -1, -2)
@@ -398,6 +404,7 @@ def refresh_point_stats(m: MapState, slots, slot_valid,
     return m._replace(
         mp_pm1=m.mp_pm1.at[idx].set(new_pm1, mode="drop"),
         mp_desc=m.mp_desc.at[idx].set(new_desc, mode="drop"),
+        mp_angle=m.mp_angle.at[idx].set(new_angle, mode="drop"),
         mp_normal=m.mp_normal.at[idx].set(normal, mode="drop"),
         mp_max_dist=m.mp_max_dist.at[idx_ref].set(max_d, mode="drop"),
         mp_min_dist=m.mp_min_dist.at[idx_ref].set(min_d, mode="drop"),

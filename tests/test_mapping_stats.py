@@ -36,6 +36,7 @@ def test_distinctive_descriptor_matches_bruteforce(rng):
     pos = rng.normal(0, 2, size=(P, 3)).astype(np.float32) + [0, 0, 8]
     ns = m.kf_ns
     Pk = rng.normal(0, 1, size=(K, 3)).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, size=(K, F)).astype(np.float32)
     m = m._replace(
         kf_active=jnp.ones(K, bool),
         kf_feat_valid=jnp.ones((K, F), bool),
@@ -43,6 +44,7 @@ def test_distinctive_descriptor_matches_bruteforce(rng):
         kf_desc=jnp.asarray(desc),
         kf_pm1=pm1,
         kf_level=jnp.asarray(rng.integers(0, 4, size=(K, F)), jnp.int32),
+        kf_angle=jnp.asarray(angles),
         kf_ns=ns._replace(P=jnp.asarray(Pk)),
         mp_pos=jnp.asarray(pos),
         mp_active=jnp.ones(P, bool).at[F:].set(False),
@@ -68,6 +70,8 @@ def test_distinctive_descriptor_matches_bruteforce(rng):
         best = int(np.argmin(meds))
         kb, fb = obs[best]
         assert np.array_equal(out_desc[p], desc[kb, fb]), p
+        # the IC angle travels with the chosen representative
+        assert np.isclose(float(np.asarray(m2.mp_angle)[p]), angles[kb, fb]), p
         # mean viewing normal (identity extrinsics: camera center == body P)
         dirs = [pos[p] - Pk[k] for k, _ in obs]
         dirs = [d / np.linalg.norm(d) for d in dirs]
