@@ -40,7 +40,8 @@ def hamming_matrix_popcount(desc_a, desc_b):
 
 
 def rotation_consistency_mask(angle_a, angle_b, match_b_for_a, matched_mask,
-                              keep_bins=3, coverage=0.9):
+                              keep_bins=3, coverage=0.9,
+                              min_concentration=0.5, participate=None):
     """30-bin relative-rotation histogram filter (ORBmatcher::ComputeThreeMaxima,
     src/ORBmatcher.cpp:1813-1850): keep matches whose angle difference falls in
     the most-populated bins, dropping even a top bin whose count falls below
@@ -52,12 +53,34 @@ def rotation_consistency_mask(angle_a, angle_b, match_b_for_a, matched_mask,
     real imagery ORB angles are repeatable, the histogram concentrates >90% in
     ~3 bins, and this reduces to the reference's rule; on texture where the IC
     angle is noisy (isotropic blobs) the reference would throw away the entire
-    good-match tail, while the coverage rule widens just enough."""
+    good-match tail, while the coverage rule widens just enough.
+
+    Concentration guard: the prune only fires when the top-`keep_bins` bins
+    hold at least `min_concentration` of the matched mass. Rotation
+    consistency presumes all `angle_a` entries were measured in a common
+    orientation; map-point representative angles come from heterogeneous
+    observer keyframes (ComputeDistinctiveDescriptors picks any observation),
+    so their delta-angle histogram is flat and the filter would discard true
+    matches wholesale — which is why the reference's local-map projection
+    search (ORBmatcher.cpp:63) applies NO rotation check at all. A flat
+    histogram (top-3 mass < min_concentration) disables the prune,
+    reproducing that behavior; a peaked one (single-frame angle sources,
+    SearchByBoW-like) keeps the reference's outlier rejection.
+
+    `participate` (per-a bool, optional): only these rows enter the histogram
+    and only they can be pruned — non-participants always pass. Used for the
+    frame-to-frame prune during map tracking: points observed in the LAST
+    frame carry that frame's keypoint angle (a single consistent source, like
+    the reference's SearchByProjection(CurrentFrame, LastFrame) rotHist,
+    src/ORBmatcher.cpp:1511), while points not seen last frame have no
+    consistent angle and skip the check (like TrackLocalMap's un-checked
+    search)."""
     db = angle_a - angle_b[match_b_for_a]
     two_pi = 2.0 * jnp.pi
     db = jnp.mod(db, two_pi)
     bins = jnp.clip((db * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
-    hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(matched_mask.astype(jnp.int32))
+    in_hist = matched_mask if participate is None else (matched_mask & participate)
+    hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(in_hist.astype(jnp.int32))
     n_total = jnp.maximum(jnp.sum(hist), 1)
     order = jnp.argsort(-hist)                      # bins by population, desc
     hsort = hist[order]
@@ -71,7 +94,12 @@ def rotation_consistency_mask(angle_a, angle_b, match_b_for_a, matched_mask,
                              >= 0.1 * hsort[0].astype(jnp.float32))
     keep_bin = jnp.zeros(HISTO_BINS, jnp.bool_).at[order].set(
         rank_kept & (hsort > 0))
-    return matched_mask & keep_bin[bins]
+    concentrated = (csum[keep_bins - 1].astype(jnp.float32)
+                    >= min_concentration * n_total.astype(jnp.float32))
+    passed = keep_bin[bins] | ~concentrated
+    if participate is not None:
+        passed = passed | ~participate
+    return matched_mask & passed
 
 
 def match_nn(dist, mask, max_dist=TH_LOW, ratio=None, ratio_mask=None):
@@ -133,7 +161,8 @@ def _pallas_eligible(M, N):
 def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
                          feat_uv, feat_level, feat_pm1, feat_valid,
                          radius_px, max_dist=TH_HIGH, ratio=0.9,
-                         proj_angle=None, feat_angle=None):
+                         proj_angle=None, feat_angle=None,
+                         proj_angle_valid=None):
     """Project-and-match: map points (projected to proj_uv) vs frame features.
 
     Mirrors ORBmatcher::SearchByProjection (map-points variant, ORBmatcher.h:38-61):
@@ -164,7 +193,8 @@ def search_by_projection(proj_uv, proj_valid, proj_level, proj_pm1,
         idx, best, ok = match_nn(dist, gate, max_dist=max_dist, ratio=ratio)
     ok = resolve_duplicates(idx, best, ok, feat_uv.shape[0])
     if proj_angle is not None and feat_angle is not None:
-        ok = rotation_consistency_mask(proj_angle, feat_angle, idx, ok)
+        ok = rotation_consistency_mask(proj_angle, feat_angle, idx, ok,
+                                       participate=proj_angle_valid)
     return idx, best, ok
 
 

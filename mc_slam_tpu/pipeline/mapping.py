@@ -21,6 +21,23 @@ from mc_slam_tpu.geometry.triangulation import parallax_cos, triangulate_two_vie
 from mc_slam_tpu.slam_map.mapstate import MapState, covisibility_weights, observation_counts
 from mc_slam_tpu.solver import factors
 
+# Scale-invariance band floor. The reference extractor always runs 8 pyramid
+# levels (config/euroc.yaml ORBextractor.nLevels), so its creation-time band
+# [max_d / 1.2^7, max_d] (src/MapPoint.cpp UpdateNormalAndDepth) never
+# collapses. Profiles with fewer levels (tests, fast profiles) must keep at
+# least that band width: with e.g. 3 levels the band shrinks to
+# [max_d/1.44, max_d] and the tracking distance gate starves the matcher as
+# soon as depth changes (round-2 regression, bisected to the narrow band).
+BAND_LEVELS_FLOOR = 8
+
+
+def band_min_dist(max_d, n_levels):
+    """Creation-time minimum scale-invariance distance, floored at the
+    8-level band the reference always uses."""
+    span = jnp.maximum(jnp.asarray(n_levels, jnp.float32) - 1.0,
+                       float(BAND_LEVELS_FLOOR - 1))
+    return max_d / (1.2 ** span)
+
 # epipolar pre-gate threshold on squared point-to-line distance, in units of
 # 3.84 * sigma^2(level) (CheckDistEpipolarLine, src/ORBmatcher.cpp)
 EPI_CHI2 = 36.0
@@ -188,7 +205,7 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
     dist_a = jnp.linalg.norm(Xw[order] - Cwa, axis=-1)
     lvl = m.kf_level[kf_a][order].astype(jnp.float32)
     max_d = dist_a * (1.2 ** lvl)
-    min_d = max_d / (1.2 ** (n_levels - 1))
+    min_d = band_min_dist(max_d, n_levels)
     normal = (Xw[order] - Cwa) / jnp.maximum(dist_a, 1e-9)[:, None]
 
     mp_pos = m.mp_pos.at[slots].set(Xw[order], mode="drop")
@@ -396,7 +413,7 @@ def refresh_point_stats(m: MapState, slots, slot_valid,
     f_ref = jnp.take_along_axis(fi, w_ref[:, None], axis=1)[:, 0]
     lvl_ref = m.kf_level[slots][w_ref, f_ref].astype(jnp.float32)
     max_d = d_ref * (1.2 ** lvl_ref)
-    min_d = max_d / (1.2 ** (n_levels - 1))
+    min_d = band_min_dist(max_d, n_levels)
 
     write = tmask & (cnt >= 2)
     idx = jnp.where(write, pt, P)

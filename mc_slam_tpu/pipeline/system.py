@@ -114,6 +114,11 @@ class SlamSystem:
         self.init_feats: Features | None = None
         self.init_uv: jnp.ndarray | None = None
         self.last_feats: Features | None = None
+        # (feat_mp, feat_angle) of the last successfully tracked frame: the
+        # angle source for the frame-to-frame rotation-consistency prune
+        # (tracking.last_frame_angles); None disables the prune for one frame
+        # (first frame, after loss/reloc)
+        self._prev_match = None
         self.last_pose = (jnp.zeros(3), jnp.eye(3))   # body P, R (world-from-body)
         self.last_ns: NavState = navstate_identity()
         self.velocity = (jnp.zeros(3), jnp.eye(3))    # relative motion model
@@ -337,7 +342,7 @@ class SlamSystem:
         dist = np.linalg.norm(Xs - np.asarray(self.m.kf_ns.P[ref_slot]), axis=1)
         lvl = np.asarray(level)[feat_idx].astype(np.float32)
         max_d = dist * (1.2 ** lvl)
-        min_d = max_d / (1.2 ** (self.cfg.n_levels - 1))
+        min_d = np.asarray(mapping.band_min_dist(max_d, self.cfg.n_levels))
         sl = jnp.asarray(slots)
         self.m = m._replace(
             mp_pos=m.mp_pos.at[sl].set(jnp.asarray(Xs)),
@@ -445,7 +450,7 @@ class SlamSystem:
         dist_a = np.linalg.norm(Xw[good_idx] - cwa, axis=1).astype(np.float32)
         lvl = np.asarray(f0.level)[good_idx].astype(np.float32)
         max_d = dist_a * (1.2 ** lvl)
-        min_d = max_d / (1.2 ** (self.cfg.n_levels - 1))
+        min_d = np.asarray(mapping.band_min_dist(max_d, self.cfg.n_levels))
         m = m._replace(
             mp_pos=mp_pos,
             mp_desc=m.mp_desc.at[slots].set(desc),
@@ -613,9 +618,11 @@ class SlamSystem:
         cfg = self.cfg
         P_last, R_last = self.last_pose
         dP, dR = self.velocity
+        pfm, pang = self._prev_match if self._prev_match is not None else (None, None)
         res, vel, mp_found, mp_vis = tracking.track_frame_visual_step(
             self.m, feats, uv, self.cam, self.ext, P_last, R_last, dP, dR,
-            feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol)
+            feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol,
+            prev_feat_mp=pfm, prev_angle=pang)
         n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
             # fallback: retry from last pose with a wide window
@@ -630,6 +637,7 @@ class SlamSystem:
                 res2 = self._track_reference_kf(feats, uv)
                 if res2 is None:
                     self.state = LOST
+                    self._prev_match = None
                     return False
                 res, n_in = res2, int(res2.n_inliers)
             # velocity model + counters for the fallback result
@@ -639,6 +647,7 @@ class SlamSystem:
         self.velocity = vel                  # (src/Tracking.cpp:1123-1134)
         self.last_pose = (res.P, res.R)
         self._cur_feat_mp = res.feat_mp
+        self._prev_match = (res.feat_mp, feats.angle)
         self._cur_inliers = n_in
         if mp_found is None:
             vis_mask = jnp.zeros(self.m.P, bool).at[
@@ -690,7 +699,9 @@ class SlamSystem:
                 self.noise, self.last_ns, self.gw, self.prior,
                 sigma_bg=float(self.noise.sigma_bg),
                 sigma_ba=float(self.noise.sigma_ba),
-                feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol)
+                feat_ur=self._cur_ur, bf=self._bf, rtol=cfg.track_rtol,
+                prev_feat_mp=(self._prev_match[0] if self._prev_match is not None else None),
+                prev_angle=(self._prev_match[1] if self._prev_match is not None else None))
         summary = np.asarray(summary)
         n_in = int(summary[0])
         # sanity gate on the per-frame bias step: the bias random walk allows
@@ -718,6 +729,7 @@ class SlamSystem:
         # accept threshold: >= 6 inliers with IMU support (src/Tracking.cpp:281-288)
         if n_in < max(6, cfg.min_track_inliers // 2):
             self.state = LOST
+            self._prev_match = None
             return False
         self.last_ns = ns2
         self.last_pose = (ns2.P, ns2.R)
@@ -726,6 +738,7 @@ class SlamSystem:
             cam=self._c0i, ns0=ns2, info=H_prior, valid=self._c1f)
         self.imu_since_frame = []
         self._cur_feat_mp = feat_mp
+        self._prev_match = (feat_mp, feats.angle)
         self._cur_inliers = n_in
         if mp_found is None:
             vis_mask = jnp.zeros(self.m.P, bool).at[
@@ -760,6 +773,7 @@ class SlamSystem:
             if n_in < cfg.min_track_inliers:
                 self.state = LOST
                 self.reloc_buf = None      # window aborted; re-relocalize
+                self._prev_match = None
                 return False
         RlT = jnp.swapaxes(R_last, -1, -2)
         self.velocity = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)

@@ -34,7 +34,7 @@ class TrackResult(NamedTuple):
 def project_map_points(m: MapState, cam: Camera, ext: factors.Extrinsics, P, R):
     """Project all active map points into the frame at body pose (P, R).
     Returns (uv (Pn,2), z (Pn,), visible (Pn,) bool) — isInFrustum
-    (src/Frame.cpp:492) without the view-angle test (folded into matching)."""
+    (src/Frame.cpp:492) including the viewing-cone test."""
     RwbT = jnp.swapaxes(R, -1, -2)
     Pb = (RwbT @ (m.mp_pos - P)[..., None])[..., 0]
     Pc = (ext.Rcb @ Pb[..., None])[..., 0] + ext.tcb
@@ -47,7 +47,39 @@ def project_map_points(m: MapState, cam: Camera, ext: factors.Extrinsics, P, R):
     # scale-invariance distance gate (MapPoint::PredictScale region)
     dist = jnp.linalg.norm(Pb, axis=-1)
     vis = vis & (dist >= 0.5 * m.mp_min_dist) & (dist <= 1.5 * jnp.maximum(m.mp_max_dist, 1e-6))
+    # viewing-cone gate (isInFrustum: viewCos = PO.normal/dist > 0.5,
+    # src/Frame.cpp:492): reject points seen from >60 deg off their mean
+    # observation aspect — the descriptor aliases under large aspect change,
+    # and this is the reference's outlier filter for the local-map search
+    # (which has no rotation-histogram check, ORBmatcher.cpp:63).
+    Cw = P - (R @ (jnp.swapaxes(ext.Rcb, -1, -2) @ ext.tcb[..., None]))[..., 0]
+    dir_w = m.mp_pos - Cw
+    view_cos = jnp.sum(dir_w * m.mp_normal, -1) \
+        / jnp.maximum(jnp.linalg.norm(dir_w, axis=-1), 1e-9)
+    # a zero normal means "no aspect statistics yet" (empty_map init,
+    # hand-built maps): skip the cone test for those points
+    has_normal = jnp.sum(m.mp_normal * m.mp_normal, -1) > 0.25
+    vis = vis & ((view_cos > 0.5) | ~has_normal)
     return jnp.stack([u, v], -1), z, vis
+
+
+def last_frame_angles(m: MapState, prev_feat_mp, prev_angle):
+    """Scatter the previous frame's keypoint angles onto map-point slots.
+
+    Rotation consistency needs every `angle_a` measured in ONE orientation;
+    the map-point representative angle (which travels with the distinctive
+    descriptor across observer KFs) does not satisfy that, but the angle of
+    each point's observation in the immediately previous frame does — this is
+    exactly the reference's SearchByProjection(CurrentFrame, LastFrame)
+    rotHist source (src/ORBmatcher.cpp:1511). Points unseen last frame get
+    participate=False and skip the prune, like the reference's un-checked
+    local-map search (ORBmatcher.cpp:63). A slot recycled between frames can
+    carry a stale angle for one frame; the histogram absorbs it as noise."""
+    tgt = jnp.where(prev_feat_mp >= 0, prev_feat_mp, m.P)
+    angle = jnp.zeros((m.P,), prev_angle.dtype).at[tgt].set(
+        prev_angle, mode="drop")
+    seen = jnp.zeros((m.P,), bool).at[tgt].set(True, mode="drop")
+    return angle, seen
 
 
 def predict_level(m: MapState, P, dist_scale=1.2, n_levels=8):
@@ -62,7 +94,8 @@ def predict_level(m: MapState, P, dist_scale=1.2, n_levels=8):
 def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
                        ext: factors.Extrinsics, P0, R0, radius_coarse=15.0,
                        radius_fine=4.0, iters: int = 20, inv_sigma2=None,
-                       feat_ur=None, bf=0.0, rtol: float = 0.0):
+                       feat_ur=None, bf=0.0, rtol: float = 0.0,
+                       prev_feat_mp=None, prev_angle=None):
     """Two-round project→match→optimize against the active map.
 
     uv_ideal: (F,2) undistorted feature pixels. feat_ur: optional (F,) observed
@@ -73,6 +106,11 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
     Fn = feats.valid.shape[0]
     if inv_sigma2 is None:
         inv_sigma2 = 1.0 / (1.2 ** (2.0 * feats.level.astype(jnp.float32)))
+    if prev_feat_mp is not None:
+        mp_last_angle, mp_seen_last = last_frame_angles(m, prev_feat_mp,
+                                                        prev_angle)
+    else:
+        mp_last_angle = mp_seen_last = None
 
     def one_round(P, R, radius, lam_iters):
         proj_uv, z, vis = project_map_points(m, cam, ext, P, R)
@@ -80,7 +118,13 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
         mp_idx, dist, ok = matching.search_by_projection(
             proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
             feats.valid, radius_px=radius,
-            proj_angle=m.mp_angle, feat_angle=feats.angle)
+            proj_angle=mp_last_angle, feat_angle=feats.angle,
+            proj_angle_valid=mp_seen_last)
+        # rotation consistency runs ONLY against last-frame observation
+        # angles (see last_frame_angles); map-point representative angles are
+        # never used here — the reference's local-map search has no rotation
+        # check (ORBmatcher.cpp:63) and its aspect filter is the viewing-cone
+        # test in project_map_points.
         # per-feature association: invert (map-point -> feature) to (feature -> mp)
         feat_mp = jnp.full((Fn,), -1, jnp.int32)
         src = jnp.arange(m.P, dtype=jnp.int32)
@@ -112,7 +156,8 @@ def track_frame_visual(m: MapState, feats: Features, uv_ideal, cam: Camera,
 def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
                             ext: factors.Extrinsics, P_last, R_last, dP, dR,
                             iters: int = 20, feat_ur=None, bf=0.0,
-                            rtol: float = 0.0):
+                            rtol: float = 0.0,
+                            prev_feat_mp=None, prev_angle=None):
     """Fused per-frame visual step: velocity-model prediction +
     track_frame_visual + velocity update + found/visible counters in one
     program; the host pulls only n_inliers (remote-device round trips are the
@@ -124,7 +169,8 @@ def track_frame_visual_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     P0 = P_last + (R_last @ dP[..., None])[..., 0]
     R0 = R_last @ dR
     res = track_frame_visual(m, feats, uv_ideal, cam, ext, P0, R0,
-                             iters=iters, feat_ur=feat_ur, bf=bf, rtol=rtol)
+                             iters=iters, feat_ur=feat_ur, bf=bf, rtol=rtol,
+                             prev_feat_mp=prev_feat_mp, prev_angle=prev_angle)
     RlT = jnp.swapaxes(R_last, -1, -2)
     vel = ((RlT @ (res.P - P_last)[..., None])[..., 0], RlT @ res.R)
     vis = jnp.zeros(m.P, bool).at[
@@ -139,7 +185,7 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
                    gw, prior_last: ba_vi.PriorFactor, radius_coarse=15.0,
                    radius_fine=4.0, iters: int = 20,
                    sigma_bg=2e-5, sigma_ba=5e-3, feat_ur=None, bf=0.0,
-                   rtol: float = 0.0):
+                   rtol: float = 0.0, prev_feat_mp=None, prev_angle=None):
     """VI tracking: IMU-predicted pose, projection search, joint (last,cur)
     optimization with IMU + prior factors, marginal extraction
     (TrackWithIMU + TrackLocalMapWithIMU, src/Tracking.cpp:224-412).
@@ -149,6 +195,11 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
     inv_sigma2 = 1.0 / (1.2 ** (2.0 * feats.level.astype(jnp.float32)))
     info_prv = factors.imu_prv_info(pre_last_cur)
     info_bias = factors.bias_rw_info(pre_last_cur.dT, sigma_bg, sigma_ba)
+    if prev_feat_mp is not None:
+        mp_last_angle, mp_seen_last = last_frame_angles(m, prev_feat_mp,
+                                                        prev_angle)
+    else:
+        mp_last_angle = mp_seen_last = None
 
     def search(P, R, radius):
         proj_uv, z, vis = project_map_points(m, cam, ext, P, R)
@@ -156,7 +207,13 @@ def track_frame_vi(m: MapState, feats: Features, uv_ideal, cam: Camera,
         mp_idx, dist, ok = matching.search_by_projection(
             proj_uv, vis, lvl, m.mp_pm1, uv_ideal, feats.level, feats.desc_pm1,
             feats.valid, radius_px=radius,
-            proj_angle=m.mp_angle, feat_angle=feats.angle)
+            proj_angle=mp_last_angle, feat_angle=feats.angle,
+            proj_angle_valid=mp_seen_last)
+        # rotation consistency runs ONLY against last-frame observation
+        # angles (see last_frame_angles); map-point representative angles are
+        # never used here — the reference's local-map search has no rotation
+        # check (ORBmatcher.cpp:63) and its aspect filter is the viewing-cone
+        # test in project_map_points.
         feat_mp = jnp.full((Fn,), -1, jnp.int32)
         src = jnp.arange(m.P, dtype=jnp.int32)
         # scatter only accepted matches (not-ok entries target an out-of-range
@@ -191,7 +248,8 @@ def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
                         gw, prior_last: ba_vi.PriorFactor,
                         iters: int = 20, sigma_bg=2e-5, sigma_ba=5e-3,
                         feat_ur=None, bf=0.0,
-                        bias_jump_bg=0.05, bias_jump_ba=0.5, rtol: float = 0.0):
+                        bias_jump_bg=0.05, bias_jump_ba=0.5, rtol: float = 0.0,
+                        prev_feat_mp=None, prev_angle=None):
     """One fused per-frame VI tracking step: IMU preintegration + NavState
     prediction + track_frame_vi plus everything the host orchestrator needs
     afterwards — the bias-jump sanity flag, the symmetrized/floored marginal
@@ -209,7 +267,8 @@ def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     ns2, feat_mp, n_m, n_in, H_marg = track_frame_vi(
         m, feats, uv_ideal, cam, ext, ns_cur0, ns_last, pre_last_cur, gw,
         prior_last, iters=iters, sigma_bg=sigma_bg, sigma_ba=sigma_ba,
-        feat_ur=feat_ur, bf=bf, rtol=rtol)
+        feat_ur=feat_ur, bf=bf, rtol=rtol,
+        prev_feat_mp=prev_feat_mp, prev_angle=prev_angle)
     # per-frame bias-step sanity (see SlamSystem._track_frame_vi): the random
     # walk allows ~1e-3 between frames; far beyond that = poisoned solve
     bias_jump = ((jnp.max(jnp.abs(ns2.dbg - ns_last.dbg)) > bias_jump_bg)

@@ -75,8 +75,16 @@ def test_loop_closure_heals_accumulated_drift(rng):
     from mc_slam_tpu.pipeline import loopclosing
 
     world = CylinderWorld(rng)
+    # ba_rtol: this scenario injects a NON-physical per-frame Sim3 warp into
+    # the post-cutoff half of the map. A fully-converged window BA actively
+    # fights each injection, mixing drift epochs and smearing the two halves'
+    # relative geometry until no clean Sim3 relates them (loop Sim3 RANSAC
+    # then finds ~2 inliers). Early-exit BA models the reference's
+    # frequently-aborted background BA (mbAbortBA, src/LocalMapping.cpp:1112),
+    # under which the injected warp stays locally coherent and closable.
     cfg = SlamConfig(max_kf=200, max_mp=4096, n_feat=384, n_levels=3,
-                     min_init_matches=40, kf_min_gap=2, kf_max_gap=5)
+                     min_init_matches=40, kf_min_gap=2, kf_max_gap=5,
+                     ba_rtol=1e-4)
     sys = SlamSystem(CAM, cfg)
     # place recognition needs a vocabulary trained on this world's descriptor
     # statistics (like loading ORBvoc in the reference; a random vocab gives
