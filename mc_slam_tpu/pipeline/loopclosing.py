@@ -87,12 +87,15 @@ class LoopDetector:
         self.consistent_groups = new_groups
         enough.sort(reverse=True)
         rest.sort(reverse=True)
-        # streak-qualified candidates first, then the best-scoring others: the
-        # reference's consistency gate exists to ration an expensive per-pair
-        # ComputeSim3 on a CPU; our Sim3 RANSAC is one batched device call, so
-        # geometric consensus (>=20 inliers) is the decisive filter and
-        # fresh high-scoring candidates still get a shot at it
-        return [k for _, k in enough] + [k for _, k in rest[:3]]
+        # streak-qualified candidates first, then the best-scoring others.
+        # The streak (reference's 3-consecutive-consistent-groups rule,
+        # src/LoopClosing.cpp:174-269) is the temporal filter against
+        # repetitive-scene false positives; non-streak candidates are still
+        # returned (our Sim3 RANSAC is one batched device call) but flagged
+        # so the caller can demand a much higher geometric-consensus bar
+        # (the reference's guided-match total, LoopClosing.cpp:459-498).
+        return ([(k, True) for _, k in enough]
+                + [(k, False) for _, k in rest[:3]])
 
 
 def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
@@ -220,14 +223,20 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     ns = ns._replace(P=ns.P.at[ks].set(Pwk2), R=ns.R.at[ks].set(Rwk2),
                      V=ns.V.at[ks].set(V2))
 
-    # correct map points with their reference keyframes; points whose reference
-    # KF was culled use the nearest surviving KF in creation order
-    slot_arr = np.asarray(slots)
-    ref = np.array(m.mp_ref_kf)
-    pos = np.clip(np.searchsorted(slot_arr, ref), 0, len(slot_arr) - 1)
-    left = np.clip(pos - 1, 0, len(slot_arr) - 1)
-    use_left = np.abs(slot_arr[left] - ref) <= np.abs(slot_arr[pos] - ref)
-    ref_local = jnp.asarray(np.where(use_left, left, pos), jnp.int32)
+    # correct map points with the surviving KF nearest their CREATION time.
+    # Anchoring must be in kf_id (creation-order) space, not slot space: slots
+    # are recycled (_alloc_kf_slot), so slot-number proximity can bind a point
+    # to a temporally distant KF and teleport it under the per-KF Sim3. Using
+    # mp_first_kf also makes culled/recycled mp_ref_kf entries harmless — the
+    # creating KF, when still active, is its own nearest id.
+    ids = np.array(m.kf_id)[np.asarray(slots)]               # (K,) creation ids
+    tid = np.array(m.mp_first_kf)                            # (P,) creation ids
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    pos = np.clip(np.searchsorted(ids_sorted, tid), 0, K - 1)
+    left = np.clip(pos - 1, 0, K - 1)
+    use_left = np.abs(ids_sorted[left] - tid) <= np.abs(ids_sorted[pos] - tid)
+    ref_local = jnp.asarray(order[np.where(use_left, left, pos)], jnp.int32)
     mp2 = posegraph.correct_map_points(m.mp_pos, ref_local, s0, R0, t0,
                                        s_new, R_new, t_new)
     mp2 = jnp.where(m.mp_active[:, None], mp2, m.mp_pos)

@@ -1445,12 +1445,22 @@ class SlamSystem:
         if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 5:
             return
         cands = self.loop.detect(self.m, slot, act)
-        # Sim3 RANSAC validates each consistent candidate in turn (ComputeSim3
-        # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330)
+        # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
+        # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330).
+        # At most 2 streaked + 1 fallback candidate per event (each RANSAC +
+        # refine is a device round trip, and the KF-event budget is the
+        # pipeline's latency tax); a candidate WITHOUT the 3-consecutive
+        # consistency streak must clear a doubled geometric-consensus bar
+        # (~ the reference's guided-match total, LoopClosing.cpp:459-498) —
+        # inlier count alone is the classic false-loop failure on
+        # repetitive scenes.
+        streaked = [c for c, s in cands if s][:2]
+        fallback = [c for c, s in cands if not s][:1]
         cand, res = -1, None
-        for c in cands[:5]:
+        for c, bar in [(c, 20) for c in streaked] + [(c, 40) for c in fallback]:
             self.key, sub = jax.random.split(self.key)
-            r = loopclosing.compute_sim3_for_loop(self.m, sub, slot, c, self.cam)
+            r = loopclosing.compute_sim3_for_loop(self.m, sub, slot, c,
+                                                  self.cam, min_inliers=bar)
             if bool(r.ok):
                 cand, res = c, r
                 break
@@ -1460,6 +1470,24 @@ class SlamSystem:
                                         fix_scale=self.vi_inited)
         self.n_loops_closed += 1
         self._last_loop_nkf = self.n_kf
+        # cross-seam fusion (CorrectLoop dedup + SearchAndFuse,
+        # src/LoopClosing.cpp:641-665,732-764): project each side's points
+        # into the other side's KFs and merge duplicate landmarks, so
+        # covisibility bridges the seam and the follow-up BA can co-constrain
+        # the two halves.
+        from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
+        obs_n = _oc(self.m)
+        cur_side = [slot] + [s for s in self._covisible(slot, 2) if s != cand]
+        loop_side = [cand] + [s for s in self._covisible(cand, 2)
+                              if s != slot and s not in cur_side]
+        for a in loop_side[:2]:
+            for b in cur_side[:2]:
+                self.m, _ = mapping.fuse_into_keyframe(
+                    self.m, jnp.asarray(a), jnp.asarray(b), self.cam,
+                    self.ext, obs_n=obs_n)
+                self.m, _ = mapping.fuse_into_keyframe(
+                    self.m, jnp.asarray(b), jnp.asarray(a), self.cam,
+                    self.ext, obs_n=obs_n)
         # full BA after the pose-graph correction (RunGlobalBundleAdjustment)
         self._local_ba(force_all=True, prune=False)
         self.last_pose = self._kf_body_pose(slot)

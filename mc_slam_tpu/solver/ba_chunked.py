@@ -113,9 +113,11 @@ def _robust_w(r, z, inv_sigma2, valid, d2):
 
 
 def _scan_reduce(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
-                 embed, Nc, DC, C, lam):
+                 embed, Nc, DC, C, lam, ks=None):
     """First pass: accumulate the Schur-reduced camera system over chunks.
-    get_PR(cam_idx) -> (P_wb, R_wb) per obs. Returns (S_red, g_red, diagHcc, cost)."""
+    get_PR(cam_idx) -> (P_wb, R_wb) per obs. Returns (S_red, g_red, diagHcc, cost).
+    ks: optional (S,) GLOBAL chunk ids — a mesh shard passes its own slice so
+    pt-to-local-index arithmetic stays correct (parallel/dist_gba.py)."""
     DP = 3
 
     def body(carry, ch):
@@ -146,7 +148,8 @@ def _scan_reduce(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
     S0 = jnp.zeros((Nc, DC, Nc, DC), pts.dtype)
     g0 = jnp.zeros((Nc, DC), pts.dtype)
     d0 = jnp.zeros((Nc * DC,), pts.dtype)
-    ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
+    if ks is None:
+        ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
     ur_stack = cobs.ur if cobs.ur is not None else jnp.zeros_like(cobs.inv_sigma2) - 1.0
     (S_red, g_red, diag, cost), _ = jax.lax.scan(
         body, (S0, g0, d0, jnp.zeros((), pts.dtype)),
@@ -155,7 +158,7 @@ def _scan_reduce(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
 
 
 def _scan_backsub(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
-                  embed, Nc, DC, C, lam, dxc, pt_mask):
+                  embed, Nc, DC, C, lam, dxc, pt_mask, ks=None):
     """Second pass: per-chunk landmark back-substitution given dxc."""
     DP = 3
 
@@ -180,7 +183,8 @@ def _scan_backsub(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
         mask_k = jax.lax.dynamic_slice_in_dim(pt_mask, k * C, C)
         return None, dxp * mask_k[:, None]
 
-    ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
+    if ks is None:
+        ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
     ur_stack = cobs.ur if cobs.ur is not None else jnp.zeros_like(cobs.inv_sigma2) - 1.0
     _, dxp = jax.lax.scan(
         body, None,
@@ -188,7 +192,7 @@ def _scan_backsub(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
     return dxp.reshape(-1, DP)
 
 
-def _chunk_cost(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, C):
+def _chunk_cost(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, C, ks=None):
     def body(c_acc, ch):
         k, o_cam, o_pt, o_uv, o_is2, o_val, o_ur = ch
         P_wb, R_wb = get_PR(o_cam)
@@ -199,7 +203,8 @@ def _chunk_cost(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, C):
         _, cost = _robust_w(r, z, o_is2, o_val * in_chunk, d2)
         return c_acc + cost, None
 
-    ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
+    if ks is None:
+        ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
     ur_stack = cobs.ur if cobs.ur is not None else jnp.zeros_like(cobs.inv_sigma2) - 1.0
     c, _ = jax.lax.scan(
         body, jnp.zeros((), pts.dtype),

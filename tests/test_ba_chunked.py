@@ -94,3 +94,46 @@ def test_chunked_vi_gba(rng):
     p_err0 = np.abs(np.asarray(ns0.P) - np.asarray(ns_true.P)).max()
     p_err = np.abs(np.asarray(ns_c.P) - np.asarray(ns_true.P)).max()
     assert p_err < 0.3 * p_err0, (p_err0, p_err)
+
+
+def test_chunked_vi_gba_sharded_equals_single(rng):
+    """Mesh-sharded chunked VI GBA == single-device chunked VI GBA (same
+    ChunkedObs layout, 8 chunks over an 8-device mesh)."""
+    from test_vi_solver import GW, build_vi_window, kfs_to_navstate
+    from mc_slam_tpu.parallel import dist_ba, dist_gba
+    kfs, pre, pts, obs = build_vi_window(rng, N_kf=6, noise_px=0.3)
+    N = 6
+    Np = pts.shape[0]
+    Npad = int(np.ceil(Np / 8)) * 8
+    pts_p = np.zeros((Npad, 3), np.float32)
+    pts_p[:Np] = pts
+    ns_true = kfs_to_navstate(kfs)
+    edges = ba_vi.IMUEdges(
+        i=jnp.arange(0, N - 1, dtype=jnp.int32),
+        j=jnp.arange(1, N, dtype=jnp.int32),
+        pre=jax.tree_util.tree_map(lambda a: a[1:], pre),
+        info_prv=factors.imu_prv_info(jax.tree_util.tree_map(lambda a: a[1:], pre)),
+        info_bias=factors.bias_rw_info(pre.dT[1:], 2e-5, 5e-3),
+        valid=jnp.ones(N - 1, jnp.float32))
+    free = jnp.asarray([0.0, 0.0] + [1.0] * (N - 2), jnp.float32)
+    pt_mask = jnp.asarray((np.arange(Npad) < Np).astype(np.float32))
+    dP = rng.normal(size=(N, 3)).astype(np.float32) * 0.05
+    dP[:2] = 0
+    ns0 = ns_true._replace(P=ns_true.P + dP)
+
+    cobs, C = ba_chunked.chunk_observations(
+        np.asarray(obs.cam), np.asarray(obs.pt), np.asarray(obs.uv),
+        np.asarray(obs.inv_sigma2), np.asarray(obs.valid), Npad, 8)
+    ns_1, pts_1, cost_1 = ba_chunked.vi_gba_chunked(
+        ns0, jnp.asarray(pts_p), cobs, edges, CAM, EXT, GW, free, pt_mask,
+        iters=8)
+
+    mesh = dist_ba.make_mesh(8)
+    cobs_s = dist_gba.shard_chunked_obs(mesh, cobs)
+    ns_s, pts_s, cost_s = dist_gba.vi_gba_chunked_sharded(
+        mesh, ns0, jnp.asarray(pts_p), cobs_s, edges, CAM, EXT, GW, free,
+        pt_mask, iters=8)
+    np.testing.assert_allclose(np.asarray(ns_s.P), np.asarray(ns_1.P), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ns_s.V), np.asarray(ns_1.V), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-3)
+    np.testing.assert_allclose(float(cost_s), float(cost_1), rtol=1e-4)

@@ -124,3 +124,15 @@ def test_loop_closure_heals_accumulated_drift(rng):
     # test — this e2e is thread-nondeterministic on CPU, so the gate has slack)
     assert gap < 0.4, f"seam not healed: gap={gap}"
     assert bool(jnp.all(jnp.isfinite(sys.m.mp_pos)))
+    # cross-seam covisibility: after SearchAndFuse (LoopClosing.cpp:732-764)
+    # early-sequence KFs and late-sequence KFs must share landmarks — without
+    # the fusion the two map halves keep duplicate points along the seam and
+    # no BA can ever co-constrain them.
+    from mc_slam_tpu.slam_map.mapstate import covisibility_matrix
+    W = np.asarray(covisibility_matrix(sys.m))
+    ids = np.asarray(sys.m.kf_id)
+    act = np.asarray(sys.m.kf_active)
+    early = act & (ids <= np.quantile(ids[act], 0.2))
+    late = act & (ids >= np.quantile(ids[act], 0.8))
+    seam_w = W[np.ix_(early, late)]
+    assert seam_w.max() >= 10, f"no cross-seam covisibility (max={seam_w.max()})"
