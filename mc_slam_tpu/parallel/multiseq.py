@@ -30,13 +30,24 @@ def make_batched_step(cam, ext, n_features=1024, n_levels=8, iters=10,
     With a mesh, the sequence axis is sharded across devices ("seq" data
     parallelism); without, the batch runs on one chip.
     """
-    def one(m, img, P0, R0):
-        f = extractor.extract(img, n_features=n_features, n_levels=n_levels)
-        r = tracking.track_frame_visual(m, f, f.xy, cam, ext, P0, R0,
-                                        iters=iters)
+    # extract and track are SEPARATE jitted dispatches: fusing them into one
+    # vmapped program blows up XLA compile time (>15 min on v5e, measured)
+    # and the fused executable runs ~2.3x slower than the two-stage split
+    # (the batched scatter/top-k extractor epilogue and the matmul-heavy
+    # matcher/LM want different fusion layouts). Two dispatches cost one
+    # extra launch (~us) and scale 1.9x better in aggregate fps.
+    ex = jax.jit(jax.vmap(
+        lambda img: extractor.extract(img, n_features=n_features,
+                                      n_levels=n_levels)))
+    tr = jax.jit(jax.vmap(
+        lambda m, f, P0, R0: tracking.track_frame_visual(
+            m, f, f.xy, cam, ext, P0, R0, iters=iters)))
+
+    def step(ms, imgs, P0s, R0s):
+        f = ex(imgs)
+        r = tr(ms, f, P0s, R0s)
         return r.P, r.R, r.feat_mp, r.n_inliers
 
-    step = jax.jit(jax.vmap(one))
     if mesh is None:
         return step
 

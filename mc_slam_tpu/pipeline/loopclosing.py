@@ -99,10 +99,17 @@ class LoopDetector:
 
 
 def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
-                          min_inliers=20):
+                          min_inliers=20, fix_scale=False):
     """Match map points between the two keyframes' observations, solve Sim3
     (ComputeSim3, src/LoopClosing.cpp:277-498). Returns (ok, s, R, t) with
-    (s,R,t) mapping loop-KF camera coords -> current-KF camera coords."""
+    (s,R,t) mapping loop-KF camera coords -> current-KF camera coords.
+
+    fix_scale=True constrains the solve to SE3 (s=1) — REQUIRED in VI mode,
+    where scale is observable (the reference's bFixScale, LoopClosing.cpp:73
+    Sim3Solver ctor arg): a free-scale RANSAC estimate is biased by depth
+    noise, and feeding s!=1 loop edges into a scale-fixed pose graph makes
+    every closure contract or inflate the map (observed: ate_scale 0.72
+    after 18 closures on the euroc clone)."""
     # features with associated map points in each KF
     mp_c = m.kf_mp[slot_cur]
     mp_l = m.kf_mp[slot_loop]
@@ -123,7 +130,7 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
     Pc_loop = cam_coords(slot_loop, mp_l[idx])
     w = ok.astype(jnp.float32)
     res = sim3solver.sim3_ransac(key, Pc_loop, Pc_cur, w, float(cam.fx),
-                                 min_inliers=min_inliers)
+                                 min_inliers=min_inliers, fix_scale=fix_scale)
     if not bool(res.ok):
         return res
     # pixel-space refinement on the RANSAC inliers (Optimizer::OptimizeSim3,
@@ -133,7 +140,8 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
     uv_loop = m.kf_uv[slot_loop][idx]
     w_in = res.inliers.astype(jnp.float32) * w
     s2, R2, t2, n_in = optimize_sim3(res.s, res.R, res.t, Pc_cur, Pc_loop,
-                                     uv_cur, uv_loop, w_in, cam, iters=10)
+                                     uv_cur, uv_loop, w_in, cam, iters=10,
+                                     fix_scale=fix_scale)
     # keep the refinement only when it strictly improves inlier support —
     # otherwise trust the RANSAC-consensus estimate
     if int(n_in) > int(res.n_inliers):

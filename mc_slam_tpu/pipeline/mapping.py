@@ -84,6 +84,34 @@ def cull_orphans(m: MapState, current_kf_id, min_age=30):
     return m._replace(mp_active=new_active, kf_mp=kf_mp), jnp.sum(bad)
 
 
+@partial(jax.jit, static_argnames=("n_evict",))
+def evict_low_value(m: MapState, current_kf_id, n_evict: int):
+    """Capacity-pressure eviction: deactivate the `n_evict` lowest-value
+    active points so triangulation never starves for free slots.
+
+    The reference's map is unbounded (std::set<MapPoint*>, src/Map.cc) and
+    relies on MapPointCulling alone; a fixed-capacity SoA table additionally
+    needs a bounded-memory policy or a full table silently allocates nothing
+    (observed in round 2: euroc clone pinned at 16384/16384 and tracking
+    starved). Value ranking, low to high: few active-KF observations first,
+    then poor found/visible ratio; points younger than 30 frames are
+    protected (they haven't had the chance to be observed)."""
+    obs_n = observation_counts(m)
+    found_ratio = m.mp_found / jnp.maximum(m.mp_visible, 1.0)
+    age = current_kf_id - m.mp_first_kf
+    score = obs_n * 10.0 + found_ratio
+    protected = (~m.mp_active) | (age < 30)
+    score = jnp.where(protected, jnp.inf, score)
+    order = jnp.argsort(score)[:n_evict]
+    evictable = jnp.isfinite(score[order])
+    idx = jnp.where(evictable, order, m.P)
+    new_active = m.mp_active.at[idx].set(False, mode="drop")
+    mp_ok = jnp.concatenate([new_active, jnp.asarray([False])])
+    kf_mp = jnp.where(mp_ok[jnp.clip(m.kf_mp, -1, m.P - 1)] & (m.kf_mp >= 0),
+                      m.kf_mp, -1)
+    return m._replace(mp_active=new_active, kf_mp=kf_mp), jnp.sum(evictable)
+
+
 # ---------------------------------------------------------------------------
 # New map points: triangulate epipolar matches between the new KF and a
 # neighbor KF. One neighbor per call (host loops over top-N covisible KFs).

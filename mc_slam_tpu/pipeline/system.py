@@ -935,8 +935,16 @@ class SlamSystem:
                                             jnp.asarray(self.cfg.cull_min_obs))
         # landmark-table pressure: sweep orphaned points (<=1 observer) when
         # >90% of slots are taken, so triangulation never starves for slots
-        if int(jnp.sum(self.m.mp_active)) > 0.9 * self.m.P:
+        n_active = int(jnp.sum(self.m.mp_active))
+        if n_active > 0.9 * self.m.P:
             self.m, _ = mapping.cull_orphans(self.m, jnp.asarray(self.frame_id))
+            n_active = int(jnp.sum(self.m.mp_active))
+        # still nearly full after the orphan sweep: bounded-capacity eviction
+        # of the lowest-value points down to ~88% (see mapping.evict_low_value)
+        if n_active > 0.95 * self.m.P:
+            self.m, _ = mapping.evict_low_value(
+                self.m, jnp.asarray(self.frame_id),
+                n_evict=int(0.07 * self.m.P))
         # one covisibility pass serves triangulation, fusion and the stats
         # refresh (each _covisible is a device sync; within one KF event the
         # neighbor ranking shifts by at most a few freshly-fused points)
@@ -1442,7 +1450,7 @@ class SlamSystem:
             return
         # cooldown after a closure (reference: mnLastLoopKFid + 10,
         # src/LoopClosing.cpp:137-141)
-        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 5:
+        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 10:
             return
         cands = self.loop.detect(self.m, slot, act)
         # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
@@ -1459,8 +1467,9 @@ class SlamSystem:
         cand, res = -1, None
         for c, bar in [(c, 20) for c in streaked] + [(c, 40) for c in fallback]:
             self.key, sub = jax.random.split(self.key)
-            r = loopclosing.compute_sim3_for_loop(self.m, sub, slot, c,
-                                                  self.cam, min_inliers=bar)
+            r = loopclosing.compute_sim3_for_loop(
+                self.m, sub, slot, c, self.cam, min_inliers=bar,
+                fix_scale=self.vi_inited)
             if bool(r.ok):
                 cand, res = c, r
                 break

@@ -20,7 +20,7 @@ from mc_slam_tpu.solver import factors, lm
 CHI2_SIM3 = 9.21
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_sim3(s0, R0, t0, Pc1, Pc2, uv1, uv2, w, cam: Camera,
                   iters: int = 15, huber_delta2: float = CHI2_SIM3,
                   fix_scale: bool = False):

@@ -109,3 +109,43 @@ def test_refresh_updates_scale_range_at_ref_kf(rng):
     exp_max = 5.0 * 1.2 ** 2
     assert np.isclose(float(m2.mp_max_dist[0]), exp_max, rtol=1e-5)
     assert np.isclose(float(m2.mp_min_dist[0]), exp_max / 1.2 ** 7, rtol=1e-5)
+
+
+def test_evict_low_value_frees_slots_and_protects():
+    """Capacity eviction removes the lowest-value points, never young or
+    already-inactive ones, and clears dangling associations."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mc_slam_tpu.pipeline import mapping
+    from mc_slam_tpu.slam_map.mapstate import empty_map
+
+    m = empty_map(max_kf=4, max_mp=64, n_feat=8)
+    P = 64
+    act = np.ones(P, bool)
+    act[60:] = False                       # 4 inactive
+    first = np.zeros(P, np.int32)          # created at frame 0 (old)
+    first[:8] = 95                         # young (age < 30 at frame 100)
+    found = np.full(P, 1.0, np.float32)
+    vis = np.full(P, 10.0, np.float32)     # found ratio 0.1 (poor)
+    found[8:16] = 10.0                     # good ratio for 8 points
+    m = m._replace(mp_active=jnp.asarray(act),
+                   mp_first_kf=jnp.asarray(first),
+                   mp_found=jnp.asarray(found), mp_visible=jnp.asarray(vis))
+    # one KF observes points 16..24 (observation bonus)
+    kf_mp = np.full((4, 8), -1, np.int32)
+    kf_mp[0] = np.arange(16, 24)
+    m = m._replace(kf_mp=jnp.asarray(kf_mp),
+                   kf_active=m.kf_active.at[0].set(True),
+                   kf_feat_valid=m.kf_feat_valid.at[0].set(True))
+
+    m2, n = mapping.evict_low_value(m, jnp.asarray(100), n_evict=16)
+    assert int(n) == 16
+    a2 = np.asarray(m2.mp_active)
+    assert a2[:8].all(), "young points must be protected"
+    assert a2[8:16].all(), "good-found-ratio points survive when worse exist"
+    assert a2[16:24].all(), "observed points outrank unobserved"
+    # evicted = 16 of the old, unobserved, poor-ratio points
+    assert (~a2[24:60]).sum() == 16
+    # associations to evicted points are cleared
+    mp2 = np.asarray(m2.kf_mp[0])
+    assert ((mp2 < 0) | a2[np.clip(mp2, 0, 63)]).all()
