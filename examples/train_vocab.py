@@ -39,7 +39,7 @@ def main():
     if args.mav0:
         from mc_slam_tpu.io import euroc
         seq = euroc.load_sequence(args.mav0)
-        paths = [p for _, p in seq.cam][:: max(1, len(seq.cam) // args.frames)]
+        paths = list(seq.image_paths)[:: max(1, len(seq.image_paths) // args.frames)]
         for p in paths[:args.frames]:
             img = euroc.load_gray_image(p)
             f = extractor.extract(jnp.asarray(img, jnp.float32),

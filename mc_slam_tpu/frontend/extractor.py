@@ -47,7 +47,12 @@ def extract(img, n_features=1024, n_levels=8, scale=1.2, th_hi=20.0, th_lo=7.0,
     sf = pyramid.scale_factors(n_levels, scale)
 
     # per-level detection + patch extraction; orientation and descriptors run
-    # ONCE over the concatenated patches of all levels (matmul formulation)
+    # ONCE over the concatenated patches of all levels (matmul formulation).
+    # Two patch sets, as the reference: IC angle on the RAW level image
+    # (ORBextractor.cpp computeOrientation), BRIEF on the blurred one.
+    # (Sharing the blurred set for both was tried — it halves the dominant
+    # patch-gather cost — but measurably degrades angle stability and broke
+    # the post-reloc bias-window e2e; reverted.)
     xys, lvls, scores, valids, patches_raw, patches_blur = [], [], [], [], [], []
     for li, (lvl_img, quota) in enumerate(zip(levels, quotas)):
         if quota == 0:

@@ -64,6 +64,10 @@ def _selection_tables():
 _S1_np, _S2_np = _selection_tables()
 S1 = jnp.asarray(_S1_np)                      # (NBINS*256, 961)
 S2 = jnp.asarray(_S2_np)
+# difference table: bit s in bin b is sign(I[S2 row] - I[S1 row]); entries in
+# {-1, 0, +1} (0 when a pair rotates onto the same pixel -> bit fixed to 0,
+# same semantics as comparing identical samples)
+D_TABLE = jnp.asarray(_S2_np - _S1_np)        # (NBINS*256, 961)
 
 # circular-patch mask + moment weights for IC angle (u_max table equivalent)
 _d = np.arange(-PATCH_R, PATCH_R + 1)
@@ -107,15 +111,30 @@ def brief_from_patches(patches_blur, angle):
     """
     K = patches_blur.shape[0]
     flat = patches_blur.reshape(K, -1)                         # (K, 961)
-    # all-bin samples in one MXU pass: (K, 961) @ (961, NBINS*256)
-    a1 = (flat @ S1.T).reshape(K, NBINS, 256)
-    a2 = (flat @ S2.T).reshape(K, NBINS, 256)
+    # All-bin BRIEF in one MXU pass against the DIFFERENCE table D = S2 - S1
+    # (each bit only needs sign(I2 - I1), so the two one-hot sample tables
+    # collapse into one {-1,0,+1} table — half the FLOPs of sampling I1 and
+    # I2 separately). Run it in bf16 without losing the sub-gray signal via
+    # a hi/lo split: hi = round(flat) is integer grays 0..255 (EXACT in
+    # bf16's 8-bit significand, D entries likewise exact), lo = flat - hi is
+    # <= 0.5 in magnitude so its bf16 rounding error is <= 2^-9 ~ 0.001 gray.
+    # Total error vs the f32 matmul is ~0.002 gray per bit decision — far
+    # below the blur's own discretization — while the MXU runs at native
+    # bf16 rate (measured v5e: f32 two-table 13.0 ms -> 3.4 ms at B=8).
+    # (Plain bf16-casting the un-rounded blur output costs up to 0.5 gray
+    # and measurably destabilized matching: post-reloc bias-window e2e.)
+    hi = jnp.round(flat)
+    lo = (flat - hi).astype(jnp.bfloat16)
+    Dt = D_TABLE.T.astype(jnp.bfloat16)                        # (961, NBINS*256)
+    d = (jax.lax.dot(hi.astype(jnp.bfloat16), Dt,
+                     preferred_element_type=jnp.float32)
+         + jax.lax.dot(lo, Dt,
+                       preferred_element_type=jnp.float32)).reshape(K, NBINS, 256)
     two_pi = 2.0 * jnp.pi
     b = jnp.round(jnp.mod(angle, two_pi) * (NBINS / two_pi)).astype(jnp.int32) % NBINS
     onehot = jax.nn.one_hot(b, NBINS, dtype=flat.dtype)        # (K, NBINS)
-    i1 = jnp.einsum('kbs,kb->ks', a1, onehot)
-    i2 = jnp.einsum('kbs,kb->ks', a2, onehot)
-    return (i1 < i2).astype(jnp.uint32)
+    diff = jnp.einsum('kbs,kb->ks', d, onehot)
+    return (diff > 0).astype(jnp.uint32)
 
 
 def pack_bits(bits):

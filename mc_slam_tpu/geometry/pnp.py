@@ -16,8 +16,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _dlt_pnp(Xw, xn):
-    """P from >=6 points. Xw (B, M, 3), xn (B, M, 2) normalized coords.
+def _dlt_pnp(Xw, xn, w=None):
+    """P from >=6 points. Xw (B, M, 3), xn (B, M, 2) normalized coords,
+    w optional (B, M) row weights (0 rows drop out of the LS problem).
     Returns (R (B,3,3) cam-from-world, t (B,3)) with unit-determinant R."""
     B, M, _ = Xw.shape
     o = jnp.zeros((B, M), Xw.dtype)
@@ -26,6 +27,9 @@ def _dlt_pnp(Xw, xn):
     u, v = xn[..., 0], xn[..., 1]
     r1 = jnp.stack([X, Y, Z, l, o, o, o, o, -u * X, -u * Y, -u * Z, -u], axis=-1)
     r2 = jnp.stack([o, o, o, o, X, Y, Z, l, -v * X, -v * Y, -v * Z, -v], axis=-1)
+    if w is not None:
+        r1 = r1 * w[..., None]
+        r2 = r2 * w[..., None]
     A = jnp.concatenate([r1, r2], axis=-2)                   # (B, 2M, 12)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     P = Vt[..., 11, :].reshape(B, 3, 4)
@@ -63,14 +67,34 @@ def pnp_ransac(key, Xw, xn, w, focal, n_iters: int = 256, th_px: float = 5.991,
     ).reshape(n_iters, 6)
     R, t = _dlt_pnp(Xw[idx], xn[idx])                        # (B,3,3), (B,3)
 
+    def score(R, t):
+        Xc = jnp.einsum('bij,nj->bni', R, Xw) + t[:, None, :]
+        z = Xc[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9 * jnp.ones_like(z), z)
+        proj = Xc[..., :2] / z_safe[..., None]
+        e = jnp.sum((proj - xn[None]) ** 2, axis=-1) * (focal * focal)
+        inl = (e < th_px) & (z > 0) & (w[None] > 0)
+        return inl, jnp.sum(inl, axis=-1)
+
     # score all hypotheses on all points
-    Xc = jnp.einsum('bij,nj->bni', R, Xw) + t[:, None, :]
-    z = Xc[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9 * jnp.ones_like(z), z)
-    proj = Xc[..., :2] / z_safe[..., None]
-    e = jnp.sum((proj - xn[None]) ** 2, axis=-1) * (focal * focal)
-    inl = (e < th_px) & (z > 0) & (w[None] > 0)
-    n_inl = jnp.sum(inl, axis=-1)
+    inl, n_inl = score(R, t)
     b = jnp.argmax(n_inl)
-    ok = n_inl[b] >= min_inliers
-    return PnPResult(ok=ok, R_cw=R[b], t_cw=t[b], inliers=inl[b], n_inliers=n_inl[b])
+
+    # local optimization (LO-RANSAC): refit a weighted DLT on the best
+    # hypothesis's FULL inlier set (rows of non-inliers zeroed -> they drop
+    # out of the nullspace problem), rescore, and keep whichever is better.
+    # The reference gets the same effect from EPnP's internal Gauss-Newton
+    # refinement on the inlier set (PnPsolver.cpp compute_pose + RANSAC
+    # refine); for near-threshold candidate sets this reliably lifts the
+    # count past the acceptance bar where a minimal 6-point fit jitters.
+    win = inl[b].astype(Xw.dtype)
+    R2, t2 = _dlt_pnp(Xw[None], xn[None], win[None])
+    inl2, n_inl2 = score(R2, t2)
+    better = n_inl2[0] > n_inl[b]
+    R_best = jnp.where(better, R2[0], R[b])
+    t_best = jnp.where(better, t2[0], t[b])
+    inl_best = jnp.where(better, inl2[0], inl[b])
+    n_best = jnp.maximum(n_inl2[0], n_inl[b])
+    ok = n_best >= min_inliers
+    return PnPResult(ok=ok, R_cw=R_best, t_cw=t_best, inliers=inl_best,
+                     n_inliers=n_best)

@@ -104,30 +104,51 @@ def vi_gba_chunked_sharded(mesh, ns0, pts0, cobs: bc.ChunkedObs,
         c = bc._chunk_cost(get_PR, pts, cobs_l, cam_l, ext_l, bf, C, ks=ks_l)
         return jax.lax.psum(c, axis)
 
-    def cost_fn(x):
-        ns, pts = x
-        c = cost_shard(cobs, ks_global, ns, pts, camera, ext)
-        _, _, c_imu = cam_factor_system(ns)
-        return c + c_imu
-
-    def linearize_solve(x, lam):
-        ns, pts = x
-        S_red, g_red, diag, _ = reduce_shard(cobs, ks_global, ns, pts, lam,
-                                             camera, ext, free_cam)
-        Hc, gc, _ = cam_factor_system(ns)
-        dxc = bc._solve_reduced(S_red, g_red, diag, Hc, gc, lam, free_cam,
-                                Nc, DC)
-        dxp = backsub_shard(cobs, ks_global, ns, pts, lam, camera, ext,
-                            free_cam, dxc, pt_mask)
-        return dxc, dxp
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(spec_obs, P(axis), rep(ns0), P(), rep(camera),
+                       rep(ext)),
+             out_specs=P(axis), check_vma=False)
+    def classify_shard(cobs_l, ks_l, ns, pts, cam_l, ext_l):
+        get_PR = lambda ci: (ns.P[ci], ns.R[ci])
+        return bc._chunk_classify(get_PR, pts, cobs_l, cam_l, ext_l, bf, C,
+                                  ks=ks_l)
 
     def retract(x, dx):
         ns, pts = x
         dxc, dxp = dx
         return retract_states(ns, dxc), pts + dxp
 
-    run = jax.jit(lambda x0: lm.lm_optimize(
-        x0, linearize_solve, retract, cost_fn, iters, lam0=lam0))
+    def make_fns(valid):
+        vobs = cobs._replace(valid=valid)
+
+        def cost_fn(x):
+            ns, pts = x
+            c = cost_shard(vobs, ks_global, ns, pts, camera, ext)
+            _, _, c_imu = cam_factor_system(ns)
+            return c + c_imu
+
+        def linearize_solve(x, lam):
+            ns, pts = x
+            S_red, g_red, diag, _ = reduce_shard(vobs, ks_global, ns, pts, lam,
+                                                 camera, ext, free_cam)
+            Hc, gc, _ = cam_factor_system(ns)
+            dxc = bc._solve_reduced(S_red, g_red, diag, Hc, gc, lam, free_cam,
+                                    Nc, DC)
+            dxp = backsub_shard(vobs, ks_global, ns, pts, lam, camera, ext,
+                                free_cam, dxc, pt_mask)
+            return dxc, dxp
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        ns, pts = x
+        return classify_shard(cobs._replace(valid=valid0), ks_global, ns, pts,
+                              camera, ext)
+
+    # same round structure as the single-device vi_gba_chunked (single
+    # phase, reference-GBA parity) — required for the equality tests
+    run = jax.jit(lambda x0: lm.lm_two_phase(
+        x0, make_fns, cobs.valid, classify, iters, lam0=lam0, enable=False))
     (ns, pts), cost, _ = run((ns0, pts0))
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     return ns, pts, cost

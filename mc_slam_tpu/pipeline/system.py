@@ -843,10 +843,14 @@ class SlamSystem:
                 1.0 / (1.2 ** (2.0 * lvl.astype(np.float32))), jnp.float32),
             valid=jnp.asarray(((mp >= 0) & fv).astype(np.float32)))
         free = jnp.ones(N, jnp.float32)
+        # single phase: the reference's bias recompute is one closed-form
+        # solve over the whole window with no outlier rounds
+        # (src/Tracking.cpp:47-220); an early re-classification on 4-iteration
+        # residuals prunes informative observations and degrades the recovery
         ns2, _, chi2, cost = ba_vi.vi_ba(
             ns0, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
             free, self.m.mp_active.astype(jnp.float32), prior=None,
-            iters=10, fix_points=True)
+            iters=10, fix_points=True, two_phase=False)
         nsl = jax.tree_util.tree_map(lambda a: a[-1], ns2)
         if bool(jnp.all(jnp.isfinite(nsl.P)) & jnp.all(jnp.isfinite(nsl.V))):
             self.last_ns = nsl
@@ -965,9 +969,17 @@ class SlamSystem:
             self.m, _ = mapping.fuse_into_keyframe(
                 self.m, jnp.asarray(nb), jnp.asarray(slot), self.cam,
                 self.ext, obs_n=obs_n)
+        self._local_ba()
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
-        # after fusion in the reference, src/LocalMapping.cpp:1550)
+        # after fusion in the reference, src/LocalMapping.cpp:1550). Runs
+        # AFTER the window BA on purpose: under low-parallax geometry BA can
+        # legitimately slide a landmark a long way along its viewing rays
+        # (depth is weakly observable; reprojections barely move), and the
+        # scale-band visibility gate (project_map_points) compares the CURRENT
+        # camera-point distance against these stored bands — stale
+        # creation-time bands after such a slide mass-reject perfectly
+        # matchable points and tracking collapses within a few frames.
         if cfg.refresh_stats:
             wslots = ([slot] + nbs + [slot] * 7)[:8]
             wvalid = [True] * (1 + len(nbs)) + [False] * 7
@@ -975,7 +987,6 @@ class SlamSystem:
                 self.m, jnp.asarray(wslots, jnp.int32),
                 jnp.asarray(wvalid[:8]), self.ext,
                 n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
-        self._local_ba()
         self._cull_keyframes()
         # keep the tracking state synced to the (BA-updated) newest KF
         self.last_pose = self._kf_body_pose(slot)
@@ -1110,7 +1121,8 @@ class SlamSystem:
                     ns_w, self.m.mp_pos, obs, edges, self.cam, self.ext, self.gw,
                     jnp.asarray(free), self.m.mp_active.astype(jnp.float32),
                     prior=prior, iters=8, bf=self._bf,
-                    rtol=0.0 if force_all else cfg.ba_rtol)
+                    rtol=0.0 if force_all else cfg.ba_rtol,
+                    two_phase=not force_all)
             self.m = self.m._replace(
                 kf_ns=jax.tree_util.tree_map(
                     lambda full, w: full.at[ks].set(w), self.m.kf_ns, ns2),
@@ -1118,10 +1130,14 @@ class SlamSystem:
         else:
             P0 = self.m.kf_ns.P[ks]
             R0 = self.m.kf_ns.R[ks]
+            # windowed: reference local-BA protocol (outlier round; skipped
+            # in abortable mode rtol>0). force_all: reference GBA = single
+            # Huber run, no outlier round (src/Optimizer.cpp:3346/:629).
             P2, R2, pts2, chi2, cost = ba.visual_ba(
                 P0, R0, self.m.mp_pos, obs, self.cam, self.ext,
                 jnp.asarray(free), self.m.mp_active.astype(jnp.float32), iters=10,
-                bf=self._bf, rtol=0.0 if force_all else cfg.ba_rtol)
+                bf=self._bf, rtol=0.0 if force_all else cfg.ba_rtol,
+                two_phase=not force_all)
             ns = self.m.kf_ns
             self.m = self.m._replace(
                 kf_ns=ns._replace(P=ns.P.at[ks].set(P2), R=ns.R.at[ks].set(R2)),
@@ -1392,7 +1408,14 @@ class SlamSystem:
         focal = float(self.cam.fx)
         xn = (np.asarray(uv) - [float(self.cam.cx), float(self.cam.cy)]) / \
             [float(self.cam.fx), float(self.cam.fy)]
-        for oi in np.argsort(-scores)[:3]:
+        # candidate set as the reference: everything scoring >= 0.75x the best
+        # accumulated score (KeyFrameDatabase::DetectRelocalizationCandidates),
+        # capped — reloc runs at frame rate while lost, so the cap bounds the
+        # per-frame host work
+        order = np.argsort(-scores)
+        best_s = scores[order[0]] if len(order) else 0.0
+        cand = [int(oi) for oi in order[:5] if scores[int(oi)] >= 0.75 * best_s]
+        for oi in cand:
             k = act[int(oi)]
             mp_k = self.m.kf_mp[k]
             has = (mp_k >= 0) & self.m.kf_feat_valid[k]
@@ -1416,6 +1439,15 @@ class SlamSystem:
             tr = tracking.track_frame_visual(self.m, feats, uv, self.cam,
                                              self.ext, P_b, R_b,
                                              radius_coarse=15.0)
+            if 0 < cfg.min_track_inliers - int(tr.n_inliers) <= 4:
+                # near miss: escalate with a wider guided re-search from the
+                # refined pose, as the reference's second SearchByProjection
+                # pass when 10 < inliers < 50 (src/Tracking.cpp:2388-2566)
+                tr2 = tracking.track_frame_visual(
+                    self.m, feats, uv, self.cam, self.ext, tr.P, tr.R,
+                    radius_coarse=30.0)
+                if int(tr2.n_inliers) > int(tr.n_inliers):
+                    tr = tr2
             if int(tr.n_inliers) >= cfg.min_track_inliers:
                 self.last_pose = (tr.P, tr.R)
                 self.velocity = (jnp.zeros(3), jnp.eye(3))

@@ -56,9 +56,13 @@ class VisualBAConfig(NamedTuple):
 
 
 def _obs_weights(r, z, inv_sigma2, valid, delta2):
-    """Robust scalar weight per obs: info * huber(chi2) * valid * (z > 0)."""
+    """Robust scalar weight per obs: info * trunc-huber(chi2) * valid * (z > 0).
+
+    The kernel is TRUNCATED (lm.HUBER_TRUNC): gross outliers get zero
+    influence, the jit-friendly equivalent of the reference deleting
+    chi2>5.991 edges between rounds (src/Optimizer.cpp:1920-1980)."""
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-    w_rob = lm.huber_weight(chi2, delta2)
+    w_rob = lm.trunc_huber_weight(chi2, delta2)
     pos = (z > 1e-6).astype(r.dtype)
     return inv_sigma2 * w_rob * valid * pos, chi2
 
@@ -66,10 +70,14 @@ def _obs_weights(r, z, inv_sigma2, valid, delta2):
 def _robust_cost(r, z, inv_sigma2, valid, delta2):
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     pos = (z > 1e-6).astype(r.dtype)
-    # out-of-frustum points contribute the saturated huber cost, not zero, so the
-    # optimizer can't "win" by pushing points behind the camera
-    chi2_eff = jnp.where(pos > 0, chi2, jnp.full_like(chi2, 4.0 * delta2))
-    return jnp.sum(valid * lm.huber_cost(chi2_eff, delta2))
+    rho = lm.trunc_huber_cost(chi2, delta2)
+    # out-of-frustum observations sit exactly ON the truncation plateau:
+    # pushing a point behind a camera can never lower the cost, and a gross
+    # in-view outlier costs the same as an invisible one — see lm.HUBER_TRUNC
+    # for the failure mode an unbounded kernel causes here
+    rho = jnp.where(pos > 0, rho, jnp.broadcast_to(lm.trunc_plateau(delta2),
+                                                   rho.shape))
+    return jnp.sum(valid * rho)
 
 
 # ---------------------------------------------------------------------------
@@ -92,27 +100,42 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
     def per_obs(P, R):
         return obs_reproj(camera, ext, P, R, pts_o, obs, bf)
 
-    def cost_fn(x):
-        P, R = x
-        r, _, _, z, d2 = per_obs(P, R)
-        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, d2)
-
-    def linearize_solve(x, lam):
-        P, R = x
-        r, J_pr, _, z, d2 = per_obs(P, R)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
-        H = jnp.einsum('o,orc,ord->cd', w, J_pr, J_pr)
-        g = jnp.einsum('o,orc,or->c', w, J_pr, r)
-        H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-10)
-        L, low = jax.scipy.linalg.cho_factor(H, lower=True)
-        return jax.scipy.linalg.cho_solve((L, low), -g)
-
     def retract(x, dx):
         P, R = x
         return (P + dx[:3], R @ lie.so3_exp(dx[3:6]))
 
-    (P, R), cost, _ = lm.lm_optimize((P0, R0), linearize_solve, retract, cost_fn,
-                                     iters, rtol=rtol)
+    def make_fns(valid):
+        def cost_fn(x):
+            r, _, _, z, d2 = per_obs(*x)
+            return _robust_cost(r, z, obs.inv_sigma2, valid, d2)
+
+        def linearize_solve(x, lam):
+            r, J_pr, _, z, d2 = per_obs(*x)
+            w, _ = _obs_weights(r, z, obs.inv_sigma2, valid, d2)
+            H = jnp.einsum('o,orc,ord->cd', w, J_pr, J_pr)
+            g = jnp.einsum('o,orc,or->c', w, J_pr, r)
+            H = H + jnp.diag(lam * jnp.diagonal(H) + 1e-10)
+            L, low = jax.scipy.linalg.cho_factor(H, lower=True)
+            return jax.scipy.linalg.cho_solve((L, low), -g)
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        # chi2 gate at the knee, as the reference's per-round outlier
+        # re-classification (mono 5.991 / stereo 7.815, Optimizer.cpp:1920-1980)
+        r, _, _, z, d2 = per_obs(*x)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        return valid0 * ((chi2 <= d2) & (z > 1e-6)).astype(valid0.dtype)
+
+    # single LM run: the reference's 4-round chi2 re-classification
+    # (Optimizer.cpp:3610) is realized one level UP here — the tracking
+    # kernels run two full search->optimize rounds with RE-MATCHING in
+    # between (tracking.track_frame_visual one_round x2), which is a
+    # stronger reclassification than re-gating a fixed match set; the
+    # truncated kernel (lm.HUBER_TRUNC) zeroes gross outliers within a run.
+    (P, R), cost, _ = lm.lm_two_phase((P0, R0), make_fns, obs.valid, classify,
+                                      iters, p1_frac=0.5, rtol=rtol,
+                                      enable=False)
     r, _, _, z, d2 = per_obs(P, R)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     inlier = (chi2 <= d2) & (z > 0) & (obs.valid > 0)
@@ -123,10 +146,11 @@ def pose_only_visual(P0, R0, pts_w, obs: VisualObs, camera: Camera,
 # Full visual BA with landmark Schur complement
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "rtol"))
+@partial(jax.jit, static_argnames=("iters", "rtol", "two_phase"))
 def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrinsics,
               free_cam, pt_mask, iters: int = 10, huber_delta2: float = CHI2_MONO,
-              lam0: float = 1e-4, bf=0.0, rtol: float = 0.0):
+              lam0: float = 1e-4, bf=0.0, rtol: float = 0.0,
+              two_phase: bool = True):
     """Joint camera + landmark BA.
 
     P0 (Nc,3), R0 (Nc,3,3), pts0 (Np,3). free_cam (Nc,) float {0,1}; pt_mask (Np,).
@@ -140,27 +164,37 @@ def visual_ba(P0, R0, pts0, obs: VisualObs, camera: Camera, ext: factors.Extrins
         P, R, pts = x
         return obs_reproj(camera, ext, P[obs.cam], R[obs.cam], pts[obs.pt], obs, bf)
 
-    def cost_fn(x):
-        r, _, _, z, d2 = per_obs(x)
-        return _robust_cost(r, z, obs.inv_sigma2, obs.valid, d2)
-
-    def linearize_solve(x, lam):
-        r, J_pr, J_pt, z, d2 = per_obs(x)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
-        o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
-                            Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
-        Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(o, free_cam, Nc, DC, Np, DP)
-        dxc, dxp = lm.schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_cam, pt_mask)
-        return dxc, dxp
-
     def retract(x, dx):
         P, R, pts = x
         dxc, dxp = dx
         return (P + dxc[:, :3], R @ lie.so3_exp(dxc[:, 3:6]), pts + dxp)
 
-    (P, R, pts), cost, _ = lm.lm_optimize(
-        (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
-        rtol=rtol)
+    def make_fns(valid):
+        def cost_fn(x):
+            r, _, _, z, d2 = per_obs(x)
+            return _robust_cost(r, z, obs.inv_sigma2, valid, d2)
+
+        def linearize_solve(x, lam):
+            r, J_pr, J_pt, z, d2 = per_obs(x)
+            w, _ = _obs_weights(r, z, obs.inv_sigma2, valid, d2)
+            o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
+                                Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
+            Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(
+                o, free_cam, Nc, DC, Np, DP)
+            dxc, dxp = lm.schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_cam,
+                                      pt_mask)
+            return dxc, dxp
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        r, _, _, z, d2 = per_obs(x)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        return valid0 * ((chi2 <= d2) & (z > 1e-6)).astype(valid0.dtype)
+
+    (P, R, pts), cost, _ = lm.lm_two_phase(
+        (P0, R0, pts0), make_fns, obs.valid, classify, iters, lam0=lam0,
+        rtol=rtol, enable=two_phase)
     R = lie.so3_normalize_fast(R)
     r, _, _, z, _ = per_obs((P, R, pts))
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2

@@ -105,10 +105,12 @@ def _chunk_reproj(camera, ext, P_wb, R_wb, Pw, uv, ur, bf):
 
 def _robust_w(r, z, inv_sigma2, valid, d2):
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-    w = inv_sigma2 * lm.huber_weight(chi2, d2) * valid * (z > 1e-6)
-    cost = jnp.sum(valid * lm.huber_cost(
-        jnp.where(z > 1e-6, chi2, 4.0 * jnp.broadcast_to(jnp.asarray(d2), chi2.shape)),
-        d2))
+    w = inv_sigma2 * lm.trunc_huber_weight(chi2, d2) * valid * (z > 1e-6)
+    rho = lm.trunc_huber_cost(chi2, d2)
+    # behind-camera = the truncation plateau (see lm.HUBER_TRUNC)
+    rho = jnp.where(z > 1e-6, rho,
+                    jnp.broadcast_to(lm.trunc_plateau(jnp.asarray(d2)), rho.shape))
+    cost = jnp.sum(valid * rho)
     return w, cost
 
 
@@ -134,9 +136,7 @@ def _scan_reduce(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
                             Jc=embed(J_pr)[:, None], Jp=J_pt, r=r, w=w)
         Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(
             o, free_cam, Nc, DC, C, DP)
-        eyep = jnp.eye(DP, dtype=Hpp.dtype)
-        Hpp_d = Hpp + lam * (Hpp * eyep) + 1e-8 * eyep
-        Hpp_inv = lm.batched_inv_small(Hpp_d)
+        Hpp_inv = lm.batched_inv_small(lm.damp_point_blocks(Hpp, lam))
         Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)
         S_part = Hcc - jnp.einsum('cipk,djpk->cidj', Y, Wcp)
         g_part = g_c - jnp.einsum('cipk,pk->ci', Y, g_p)
@@ -175,9 +175,7 @@ def _scan_backsub(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, free_cam,
                             Jc=embed(J_pr)[:, None], Jp=J_pt, r=r, w=w)
         Hcc, g_c, Hpp, g_p, Wcp, _ = lm.build_landmark_system(
             o, free_cam, Nc, DC, C, DP)
-        eyep = jnp.eye(DP, dtype=Hpp.dtype)
-        Hpp_d = Hpp + lam * (Hpp * eyep) + 1e-8 * eyep
-        Hpp_inv = lm.batched_inv_small(Hpp_d)
+        Hpp_inv = lm.batched_inv_small(lm.damp_point_blocks(Hpp, lam))
         rhs = g_p + jnp.einsum('cipj,ci->pj', Wcp, dxc)
         dxp = -jnp.einsum('pjk,pk->pj', Hpp_inv, rhs)
         mask_k = jax.lax.dynamic_slice_in_dim(pt_mask, k * C, C)
@@ -212,6 +210,27 @@ def _chunk_cost(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, C, ks=None):
     return c
 
 
+def _chunk_classify(get_PR, pts, cobs: ChunkedObs, camera, ext, bf, C, ks=None):
+    """Per-observation inlier re-classification at the current state:
+    valid * (chi2 <= knee) * (z > 0), chunk by chunk — the between-rounds
+    outlier gate of the reference (src/Optimizer.cpp:1920-1980)."""
+    def body(_, ch):
+        k, o_cam, o_pt, o_uv, o_is2, o_val, o_ur = ch
+        P_wb, R_wb = get_PR(o_cam)
+        r, _, _, z, d2 = _chunk_reproj(camera, ext, P_wb, R_wb,
+                                       pts[o_pt], o_uv, o_ur, bf)
+        chi2 = jnp.sum(r * r, axis=-1) * o_is2
+        return None, o_val * ((chi2 <= d2) & (z > 1e-6)).astype(o_val.dtype)
+
+    if ks is None:
+        ks = jnp.arange(cobs.cam.shape[0], dtype=jnp.int32)
+    ur_stack = cobs.ur if cobs.ur is not None else jnp.zeros_like(cobs.inv_sigma2) - 1.0
+    _, valid2 = jax.lax.scan(
+        body, None,
+        (ks, cobs.cam, cobs.pt, cobs.uv, cobs.inv_sigma2, cobs.valid, ur_stack))
+    return valid2
+
+
 def _solve_reduced(S_red, g_red, diag, cam_H, cam_g, lam, free_cam, Nc, DC):
     n = Nc * DC
     Sf = (S_red + cam_H).reshape(n, n)
@@ -236,30 +255,46 @@ def visual_gba_chunked(P0, R0, pts0, cobs: ChunkedObs, camera: Camera,
     C = Np // cobs.cam.shape[0]
     embed = lambda J: J
 
-    def cost_fn(x):
-        P, R, pts = x
-        get_PR = lambda ci: (P[ci], R[ci])
-        return _chunk_cost(get_PR, pts, cobs, camera, ext, bf, C)
-
-    def linearize_solve(x, lam):
-        P, R, pts = x
-        get_PR = lambda ci: (P[ci], R[ci])
-        S_red, g_red, diag, _ = _scan_reduce(
-            get_PR, pts, cobs, camera, ext, bf, free_cam, embed, Nc, DC, C, lam)
-        Z = jnp.zeros((Nc, DC, Nc, DC), pts.dtype)
-        z = jnp.zeros((Nc, DC), pts.dtype)
-        dxc = _solve_reduced(S_red, g_red, diag, Z, z, lam, free_cam, Nc, DC)
-        dxp = _scan_backsub(get_PR, pts, cobs, camera, ext, bf, free_cam,
-                            embed, Nc, DC, C, lam, dxc, pt_mask)
-        return dxc, dxp
-
     def retract(x, dx):
         P, R, pts = x
         dxc, dxp = dx
         return (P + dxc[:, :3], R @ lie.so3_exp(dxc[:, 3:6]), pts + dxp)
 
-    (P, R, pts), cost, _ = lm.lm_optimize(
-        (P0, R0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+    def make_fns(valid):
+        vobs = cobs._replace(valid=valid)
+
+        def cost_fn(x):
+            P, R, pts = x
+            get_PR = lambda ci: (P[ci], R[ci])
+            return _chunk_cost(get_PR, pts, vobs, camera, ext, bf, C)
+
+        def linearize_solve(x, lam):
+            P, R, pts = x
+            get_PR = lambda ci: (P[ci], R[ci])
+            S_red, g_red, diag, _ = _scan_reduce(
+                get_PR, pts, vobs, camera, ext, bf, free_cam, embed, Nc, DC,
+                C, lam)
+            Z = jnp.zeros((Nc, DC, Nc, DC), pts.dtype)
+            z = jnp.zeros((Nc, DC), pts.dtype)
+            dxc = _solve_reduced(S_red, g_red, diag, Z, z, lam, free_cam, Nc, DC)
+            dxp = _scan_backsub(get_PR, pts, vobs, camera, ext, bf, free_cam,
+                                embed, Nc, DC, C, lam, dxc, pt_mask)
+            return dxc, dxp
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        P, R, pts = x
+        get_PR = lambda ci: (P[ci], R[ci])
+        return _chunk_classify(get_PR, pts, cobs._replace(valid=valid0),
+                               camera, ext, bf, C)
+
+    # single-phase like the reference's global BA (no outlier round,
+    # src/Optimizer.cpp:3346) — classify stays available via lm_two_phase
+    # for callers that want it
+    (P, R, pts), cost, _ = lm.lm_two_phase(
+        (P0, R0, pts0), make_fns, cobs.valid, classify, iters, lam0=lam0,
+        enable=False)
     return P, lie.so3_normalize_fast(R), pts, cost
 
 
@@ -288,31 +323,45 @@ def vi_gba_chunked(ns0: NavState, pts0, cobs: ChunkedObs, edges: IMUEdges,
         H, g, cost = lm.accumulate_cam_factors(H, g, cost, bias, free_cam)
         return H, g, cost
 
-    def cost_fn(x):
-        ns, pts = x
-        get_PR = lambda ci: (ns.P[ci], ns.R[ci])
-        c = _chunk_cost(get_PR, pts, cobs, camera, ext, bf, C)
-        _, _, c_imu = cam_factor_system(ns)
-        return c + c_imu
-
-    def linearize_solve(x, lam):
-        ns, pts = x
-        get_PR = lambda ci: (ns.P[ci], ns.R[ci])
-        S_red, g_red, diag, _ = _scan_reduce(
-            get_PR, pts, cobs, camera, ext, bf, free_cam, _embed15,
-            Nc, DC, C, lam)
-        Hc, gc, _ = cam_factor_system(ns)
-        dxc = _solve_reduced(S_red, g_red, diag, Hc, gc, lam, free_cam, Nc, DC)
-        dxp = _scan_backsub(get_PR, pts, cobs, camera, ext, bf, free_cam,
-                            _embed15, Nc, DC, C, lam, dxc, pt_mask)
-        return dxc, dxp
-
     def retract(x, dx):
         ns, pts = x
         dxc, dxp = dx
         return retract_states(ns, dxc), pts + dxp
 
-    (ns, pts), cost, _ = lm.lm_optimize(
-        (ns0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0)
+    def make_fns(valid):
+        vobs = cobs._replace(valid=valid)
+
+        def cost_fn(x):
+            ns, pts = x
+            get_PR = lambda ci: (ns.P[ci], ns.R[ci])
+            c = _chunk_cost(get_PR, pts, vobs, camera, ext, bf, C)
+            _, _, c_imu = cam_factor_system(ns)
+            return c + c_imu
+
+        def linearize_solve(x, lam):
+            ns, pts = x
+            get_PR = lambda ci: (ns.P[ci], ns.R[ci])
+            S_red, g_red, diag, _ = _scan_reduce(
+                get_PR, pts, vobs, camera, ext, bf, free_cam, _embed15,
+                Nc, DC, C, lam)
+            Hc, gc, _ = cam_factor_system(ns)
+            dxc = _solve_reduced(S_red, g_red, diag, Hc, gc, lam, free_cam,
+                                 Nc, DC)
+            dxp = _scan_backsub(get_PR, pts, vobs, camera, ext, bf, free_cam,
+                                _embed15, Nc, DC, C, lam, dxc, pt_mask)
+            return dxc, dxp
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        ns, pts = x
+        get_PR = lambda ci: (ns.P[ci], ns.R[ci])
+        return _chunk_classify(get_PR, pts, cobs._replace(valid=valid0),
+                               camera, ext, bf, C)
+
+    # single-phase like the reference's global VI BA (src/Optimizer.cpp:629)
+    (ns, pts), cost, _ = lm.lm_two_phase(
+        (ns0, pts0), make_fns, cobs.valid, classify, iters, lam0=lam0,
+        enable=False)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     return ns, pts, cost

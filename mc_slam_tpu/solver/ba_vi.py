@@ -134,12 +134,13 @@ def _build_H_cam(ns, pts, obs, edges, prior, camera, ext, gw, free_mask, huber_d
     return H, g
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_points", "rtol"))
+@partial(jax.jit, static_argnames=("iters", "fix_points", "rtol", "two_phase"))
 def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
           ext: factors.Extrinsics, gw, free_cam, pt_mask,
           prior: PriorFactor | None = None, iters: int = 10,
           huber_delta2: float = CHI2_MONO, lam0: float = 1e-4,
-          fix_points: bool = False, bf=0.0, rtol: float = 0.0):
+          fix_points: bool = False, bf=0.0, rtol: float = 0.0,
+          two_phase: bool = True):
     """Windowed/global VI bundle adjustment over NavStates + XYZ landmarks.
 
     ns0: NavState with (Nc,…) arrays (window KFs + fixed neighbors/observers).
@@ -151,41 +152,54 @@ def vi_ba(ns0: NavState, pts0, obs: VisualObs, edges: IMUEdges, camera: Camera,
     Nc = ns0.P.shape[0]
     Np, DP = pts0.shape[0], 3
 
-    def cost_fn(x):
-        ns, pts = x
-        return _vi_total_cost(ns, pts, obs, edges, prior, camera, ext, gw,
-                              huber_delta2, bf)
-
-    def linearize_solve(x, lam):
-        ns, pts = x
-        r, J_pr, J_pt, z, d2 = obs_reproj(
-            camera, ext, ns.P[obs.cam], ns.R[obs.cam], pts[obs.pt], obs, bf)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
-        # build the visual system in 6-d PR space; embed into the 15-d VI
-        # system once (reprojection has zero V/bias columns — padding them
-        # into the block outer products costs ~6x for nothing)
-        o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
-                            Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
-        Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
-            o, free_cam, Nc, 6, Np, DP)
-        Hf, gf = _build_H_cam(ns, pts, obs, edges, prior, camera, ext, gw,
-                              free_cam, huber_delta2, Nc)
-        H = Hf.at[:, :6, :, :6].add(Hcc6)
-        g = gf.at[:, :6].add(g6)
-        if fix_points:
-            dxc = lm.solve_cam_system(H, g, lam, free_cam)
-            return dxc, jnp.zeros_like(pts)
-        dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam, free_cam, pt_mask)
-        return dxc, dxp
-
     def retract(x, dx):
         ns, pts = x
         dxc, dxp = dx
         return retract_states(ns, dxc), pts + dxp
 
-    (ns, pts), cost, _ = lm.lm_optimize(
-        (ns0, pts0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
-        rtol=rtol)
+    def make_fns(valid):
+        vobs = obs._replace(valid=valid)
+
+        def cost_fn(x):
+            ns, pts = x
+            return _vi_total_cost(ns, pts, vobs, edges, prior, camera, ext, gw,
+                                  huber_delta2, bf)
+
+        def linearize_solve(x, lam):
+            ns, pts = x
+            r, J_pr, J_pt, z, d2 = obs_reproj(
+                camera, ext, ns.P[obs.cam], ns.R[obs.cam], pts[obs.pt], obs, bf)
+            w, _ = _obs_weights(r, z, obs.inv_sigma2, valid, d2)
+            # build the visual system in 6-d PR space; embed into the 15-d VI
+            # system once (reprojection has zero V/bias columns — padding them
+            # into the block outer products costs ~6x for nothing)
+            o = lm.Observations(cam=obs.cam[:, None], pt=obs.pt,
+                                Jc=J_pr[:, None], Jp=J_pt, r=r, w=w)
+            Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
+                o, free_cam, Nc, 6, Np, DP)
+            Hf, gf = _build_H_cam(ns, pts, vobs, edges, prior, camera, ext, gw,
+                                  free_cam, huber_delta2, Nc)
+            H = Hf.at[:, :6, :, :6].add(Hcc6)
+            g = gf.at[:, :6].add(g6)
+            if fix_points:
+                dxc = lm.solve_cam_system(H, g, lam, free_cam)
+                return dxc, jnp.zeros_like(pts)
+            dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam, free_cam,
+                                         pt_mask)
+            return dxc, dxp
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        ns, pts = x
+        r, _, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                                    pts[obs.pt], obs, bf)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        return valid0 * ((chi2 <= d2) & (z > 1e-6)).astype(valid0.dtype)
+
+    (ns, pts), cost, _ = lm.lm_two_phase(
+        (ns0, pts0), make_fns, obs.valid, classify, iters, lam0=lam0,
+        rtol=rtol, enable=two_phase)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, z, _ = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
                                pts[obs.pt], obs, bf)
@@ -219,14 +233,10 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
     free = jnp.ones(2, ns_cur0.P.dtype)
     pts_o = pts_w[obs.pt]
 
-    def cost_fn(ns):
-        return _vi_total_cost(ns, pts_w, obs, edges, prior_last, camera, ext, gw,
-                              huber_delta2, bf)
-
-    def build(ns, lam=None):
+    def build(ns, valid):
         r, J_pr, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
                                        pts_o, obs, bf)
-        w, _ = _obs_weights(r, z, obs.inv_sigma2, obs.valid, d2)
+        w, _ = _obs_weights(r, z, obs.inv_sigma2, valid, d2)
         wJ = J_pr * w[:, None, None]
         H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
         g = jnp.zeros((Nc, DC), r.dtype)
@@ -240,15 +250,35 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
         H, g, cost = lm.accumulate_cam_factors(H, g, cost, _prior_factor(ns, prior_last), free)
         return H, g
 
-    def linearize_solve(ns, lam):
-        H, g = build(ns)
-        return lm.solve_cam_system(H, g, lam, free)
+    def make_fns(valid):
+        vobs = obs._replace(valid=valid)
 
-    # rtol early-exit: a converged frame typically stops after ~5 of the 20
-    # iterations; remaining scan steps take the lax.cond no-op branch
-    # (tracking is the latency-critical 20 Hz path, src/Optimizer.cpp 4x10)
-    ns, cost, _ = lm.lm_optimize(ns0, linearize_solve, retract_states, cost_fn,
-                                 iters, rtol=rtol)
+        def cost_fn(ns):
+            return _vi_total_cost(ns, pts_w, vobs, edges, prior_last, camera,
+                                  ext, gw, huber_delta2, bf)
+
+        def linearize_solve(ns, lam):
+            H, g = build(ns, valid)
+            return lm.solve_cam_system(H, g, lam, free)
+
+        return linearize_solve, retract_states, cost_fn
+
+    def classify(ns, valid0):
+        r, _, _, z, d2 = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
+                                    pts_o, obs, bf)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        return valid0 * ((chi2 <= d2) & (z > 1e-6)).astype(valid0.dtype)
+
+    # single LM run: the reference's 4x10 per-round chi2 gating
+    # (Optimizer.cpp:1920-1980) is realized one level up — track_frame_vi
+    # runs two search->optimize rounds with RE-MATCHING between them, and
+    # the truncated kernel zeroes gross outliers within a run. An in-solver
+    # re-classification round here measurably degrades weakly-observed bias
+    # axes (optical-axis gyro bias) during the post-reloc window, where the
+    # IMU side is corrupt by construction and the pruned visual residuals
+    # are exactly the signal exposing it.
+    ns, cost, _ = lm.lm_two_phase(ns0, make_fns, obs.valid, classify, iters,
+                                  p1_frac=0.5, rtol=rtol, enable=False)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
 
     r, _, _, z, d2_f = obs_reproj(camera, ext, ns.P[obs.cam], ns.R[obs.cam],
@@ -258,7 +288,8 @@ def pose_only_vi(ns_cur0: NavState, ns_last: NavState, pre_last_cur: PreintState
 
     if compute_marg:
         # marginal information of the current frame: Schur out the last frame
-        H, _ = build(ns)
+        # (built from the final inlier classification)
+        H, _ = build(ns, classify(ns, obs.valid))
         Hll = H[0, :, 0, :] + 1e-8 * jnp.eye(DC, dtype=H.dtype)
         Hlc = H[0, :, 1, :]
         Hcc = H[1, :, 1, :]

