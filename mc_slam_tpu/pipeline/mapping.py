@@ -270,10 +270,55 @@ def create_points_with_neighbor(m: MapState, kf_a, kf_b, cam: Camera,
 # already hold a different point keep the better-observed one.
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("max_new",))
+def create_points_with_neighbors(m: MapState, kf_a, nbrs, cam: Camera,
+                                 ext: factors.Extrinsics, max_new: int = 256,
+                                 n_levels=8):
+    """Triangulate against several neighbors in ONE device program.
+
+    nbrs: (N,) int32 neighbor slots; pass kf_a itself for padding entries —
+    a self-pair has zero baseline, fails the enough_baseline gate and writes
+    nothing. Replaces N separate create_points_with_neighbor dispatches (each
+    a full host->device round trip through a remote-attached chip) with one
+    lax.scan; the chained MapState stays device-resident throughout.
+    """
+    def body(m, nb):
+        m2, n = create_points_with_neighbor(m, kf_a, nb, cam, ext,
+                                            max_new=max_new, n_levels=n_levels)
+        return m2, n
+
+    m2, ns = jax.lax.scan(body, m, nbrs)
+    return m2, jnp.sum(ns)
+
+
+@partial(jax.jit, static_argnames=())
+def fuse_neighbors(m: MapState, kf_a, nbrs, nbrs_valid, cam: Camera,
+                   ext: factors.Extrinsics):
+    """Bidirectional SearchInNeighbors fusion round in ONE device program.
+
+    For each valid neighbor nb: fuse(nb -> kf_a) and fuse(kf_a -> nb).
+    Observation counts are computed once inside the program (round-start
+    counts; the better-observed arbitration tolerates staleness — see
+    fuse_into_keyframe). Replaces 2N+1 dispatches with one scan."""
+    obs_n = observation_counts(m)
+
+    def body(m, x):
+        src, dst, v = x
+        m2, n = fuse_into_keyframe(m, src, dst, cam, ext, obs_n=obs_n,
+                                   valid=v)
+        return m2, n
+
+    srcs = jnp.concatenate([nbrs, jnp.broadcast_to(kf_a, nbrs.shape)])
+    dsts = jnp.concatenate([jnp.broadcast_to(kf_a, nbrs.shape), nbrs])
+    vs = jnp.concatenate([nbrs_valid, nbrs_valid])
+    m2, ns = jax.lax.scan(body, m, (srcs, dsts, vs))
+    return m2, jnp.sum(ns)
+
+
 @jax.jit
 def fuse_into_keyframe(m: MapState, kf_src, kf_dst, cam: Camera,
                        ext: factors.Extrinsics, radius=3.0,
-                       max_dist=matching.TH_LOW, obs_n=None):
+                       max_dist=matching.TH_LOW, obs_n=None, valid=None):
     """obs_n: optional precomputed observation_counts(m). The fusion round
     over N neighbors may pass counts computed once at round start — the
     arbitration ("keep the better-observed point") tolerates counts a few
@@ -296,6 +341,9 @@ def fuse_into_keyframe(m: MapState, kf_src, kf_dst, cam: Camera,
     dist = matching.hamming_matrix(m.mp_pm1[mp_idx], m.kf_pm1[kf_dst])
     gate = matching.window_mask(uv, m.kf_uv[kf_dst], radius)
     gate = gate & vis[:, None] & m.kf_feat_valid[kf_dst][None, :]
+    if valid is not None:
+        # traced no-op switch for scanned padding pairs (fuse_neighbors)
+        gate = gate & (valid > 0)
     fidx, best, ok = matching.match_nn(dist, gate, max_dist=max_dist)
     ok = matching.resolve_duplicates(fidx, best, ok, m.F)
 

@@ -677,6 +677,31 @@ class SlamSystem:
             pre = preintegrate(jnp.asarray(rawp), bg, ba, self.noise, init=pre)
         return pre
 
+    @staticmethod
+    def _fresh_prior_info(pose_info):
+        """15x15 prior information for a freshly (re)seated frame state,
+        order [P, phi, V, dbg, dba].
+
+        Pose/velocity get `pose_info` (weak: the next visual solve should
+        dominate), but BIASES get window-BA-level confidence (sigma_bg ~1e-3,
+        sigma_ba ~1e-2): the re-seated state's biases come from the keyframe
+        chain, which is RW-anchored all the way back to VI init. An isotropic
+        weak prior here (the old identity*1e3, sigma_bias ~0.03) let the
+        per-frame estimator re-derive biases from ~1 s of data between
+        keyframes — noise-dominated, so the frame bias wandered +-0.03,
+        every new keyframe injected that wander into the chain (observed as
+        a ~5e6 bias-RW edge cost on each newest keyframe), and the window BA
+        could only partially smooth it back (the wander is RW-plausible per
+        edge), accumulating into 0.05+ accel-bias error and the post-init
+        sawtooth. The reference never weakens its bias prior: mMargCovInv
+        chains the full marginal frame to frame (src/Optimizer.cpp:1997-2014)
+        and map updates re-anchor the frame's bias to the KEYFRAME state
+        (PoseOptimization(F, LastKF), src/Tracking.cpp:338-412)."""
+        d = np.full(15, float(pose_info), np.float32)
+        d[9:12] = 1e6    # gyro bias: sigma ~1e-3 rad/s
+        d[12:15] = 1e4   # accel bias: sigma ~1e-2 m/s^2
+        return np.diag(d)
+
     def _track_frame_vi(self, feats, uv, t):
         """IMU-predicted tracking with the marginal prior
         (Tracking::TrackWithIMU + TrackLocalMapWithIMU)."""
@@ -689,7 +714,7 @@ class SlamSystem:
         if self.prior is None:
             self.prior = ba_vi.PriorFactor(
                 cam=jnp.asarray(0, jnp.int32), ns0=self.last_ns,
-                info=jnp.eye(15, dtype=jnp.float32) * 1e3,
+                info=jnp.asarray(self._fresh_prior_info(1e3), jnp.float32),
                 valid=jnp.asarray(1.0, jnp.float32))
         # fused step: track + bias-jump sanity + prior symmetrization +
         # found/visible counters all on device; ONE small host pull per frame
@@ -724,7 +749,8 @@ class SlamSystem:
                 ns2 = self.last_ns._replace(P=resv.P, R=resv.R, V=V_est)
                 feat_mp = resv.feat_mp
                 n_in = int(resv.n_inliers)
-                H_prior = jnp.eye(15, dtype=jnp.float32) * 1e2  # weak fresh prior
+                # weak fresh prior on pose/velocity; biases keep their anchor
+                H_prior = jnp.asarray(self._fresh_prior_info(1e2), jnp.float32)
                 mp_found = mp_vis = None       # recompute for the new feat_mp
         # accept threshold: >= 6 inliers with IMU support (src/Tracking.cpp:281-288)
         if n_in < max(6, cfg.min_track_inliers // 2):
@@ -953,22 +979,18 @@ class SlamSystem:
         # refresh (each _covisible is a device sync; within one KF event the
         # neighbor ranking shifts by at most a few freshly-fused points)
         nbs = self._covisible(slot, 7)
-        # triangulate with top covisible neighbors
-        for nb in nbs[:4]:
-            self.m, n_new = mapping.create_points_with_neighbor(
-                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam, self.ext,
-                n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
-        # fuse with first-order neighbors (observation counts computed once
-        # for the round — the better-observed arbitration tolerates staleness)
-        from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
-        obs_n = _oc(self.m)
-        for nb in nbs[:4]:
-            self.m, _ = mapping.fuse_into_keyframe(
-                self.m, jnp.asarray(slot), jnp.asarray(nb), self.cam,
-                self.ext, obs_n=obs_n)
-            self.m, _ = mapping.fuse_into_keyframe(
-                self.m, jnp.asarray(nb), jnp.asarray(slot), self.cam,
-                self.ext, obs_n=obs_n)
+        # triangulate + fuse with top covisible neighbors: ONE scanned device
+        # program each (padding pairs are no-ops), instead of 12 dispatches —
+        # on a remote-attached chip every dispatch is a tunnel round trip and
+        # this is the dominant share of the KF-event latency tax
+        nb4 = (nbs[:4] + [slot] * 4)[:4]
+        nbv = [1.0] * min(len(nbs), 4) + [0.0] * 4
+        self.m, _ = mapping.create_points_with_neighbors(
+            self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32), self.cam,
+            self.ext, n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
+        self.m, _ = mapping.fuse_neighbors(
+            self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32),
+            jnp.asarray(nbv[:4], jnp.float32), self.cam, self.ext)
         self._local_ba()
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
@@ -1076,11 +1098,11 @@ class SlamSystem:
         if pad_to is not None and n_real < pad_to:
             all_slots = all_slots + [all_slots[-1]] * (pad_to - n_real)
         obs = self._gather_obs(window, fixed + all_slots[n_real:])
-        # padded duplicate slots contribute no constraints
+        # padded duplicate slots contribute no constraints (device-side mask:
+        # a host-side np.array round trip here would block the async stream)
         if len(all_slots) > n_real:
-            ov = np.array(obs.valid).reshape(len(all_slots), -1)
-            ov[n_real:] = 0.0
-            obs = obs._replace(valid=jnp.asarray(ov.reshape(-1)))
+            obs = obs._replace(
+                valid=obs.valid * (obs.cam < n_real).astype(obs.valid.dtype))
         free = np.zeros(len(all_slots), np.float32)
         free[:len(window)] = 1.0
         # gauge: when no out-of-window observers anchor the problem, fix the
@@ -1157,9 +1179,9 @@ class SlamSystem:
         all_slots = window + [window[-1]] * (pad_n - n_real)
         ks = jnp.asarray(all_slots, jnp.int32)
         obs = self._gather_obs(window, all_slots[n_real:])
-        ov = np.array(obs.valid).reshape(pad_n, -1)
-        ov[n_real:] = 0.0
-        obs = obs._replace(valid=jnp.asarray(ov.reshape(-1)))
+        # padded slots contribute no constraints (device-side mask)
+        obs = obs._replace(
+            valid=obs.valid * (obs.cam < n_real).astype(obs.valid.dtype))
         free = np.zeros(pad_n, np.float32)
         free[1:n_real] = 1.0               # gauge: oldest KF fixed
         n_chunks = max(1, self.m.P // chunk)
