@@ -127,8 +127,16 @@ def main():
                            with_scale=True) if post.sum() > 10 else {})
     art_dir = os.path.join(os.path.dirname(__file__), "..", "artifacts")
     os.makedirs(art_dir, exist_ok=True)
+    # anchor diagnostics: which keyframe each frame composed through, and
+    # whether it fell back to its stale track-time pose (culled/recycled ref)
+    kf_id_h = np.asarray(slam.m.kf_id)
+    kf_act_h = np.asarray(slam.m.kf_active)
+    anchor_kid = np.asarray([
+        (e[2] if (e[1] >= 0 and kf_act_h[e[1]] and kf_id_h[e[1]] == e[2])
+         else -1) for e in slam.trajectory], np.int64)
     np.savez(os.path.join(art_dir, f"traj_clone_{args.profile}.npz"),
-             t_est=t_est, P_est=P_est, t_gt=t_gt, P_gt=P_gt)
+             t_est=t_est, P_est=P_est, t_gt=t_gt, P_gt=P_gt,
+             anchor_kid=anchor_kid)
     try:
         from mc_slam_tpu.viz import save_map_snapshot
         save_map_snapshot(

@@ -1650,6 +1650,17 @@ class SlamSystem:
         self.m = self.m._replace(
             kf_ns=ns, mp_pos=self.m.mp_pos * s,
             mp_min_dist=self.m.mp_min_dist * s, mp_max_dist=self.m.mp_max_dist * s)
+        # rescale the recorded per-frame trajectory to the new metric unit
+        # (Map::UpdateScale analog for the saved-frame list): P_rel offsets
+        # were captured in the pre-init visual scale — composing them
+        # unscaled against the rescaled keyframe poses leaves every pre-init
+        # frame ~s x off and dominates full-run ATE
+        for idx, e in enumerate(self.trajectory):
+            t_e, k, kid, P_rel, R_rel, P_abs, R_abs = e
+            self.trajectory[idx] = (
+                t_e, k, kid,
+                None if P_rel is None else P_rel * s, R_rel,
+                None if P_abs is None else P_abs * s, R_abs)
         self.gw = res.gw
         self.vi_inited = True
         self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], ns)
