@@ -29,7 +29,16 @@ def timeit(f, n=20, warmup=2):
 
 
 def main():
+    import os
     import jax
+    if jax.default_backend() != "cpu":
+        # persistent compile cache (TPU-only: XLA:CPU (de)serialization is
+        # known-bad on this host, tests/conftest.py) — first-compile warmup
+        # otherwise dominates short benches through a remote-attached chip
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("MC_SLAM_JAXCACHE",
+                                         "/tmp/mc_slam_jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mc_slam_tpu.bench_problems import vi_window_problem

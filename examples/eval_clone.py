@@ -37,6 +37,18 @@ def main():
     ap.add_argument("--final-gba", action="store_true",
                     help="run one whole-map BA before scoring")
     ap.add_argument("--out", default="")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit nonzero when accuracy/throughput regress past "
+                         "the adopted thresholds (reference acceptance: "
+                         "run.sh + evaluate_ate.py per-sequence bounds)")
+    ap.add_argument("--gate-ate", type=float, default=0.15,
+                    help="max post-init ATE RMSE [m]")
+    ap.add_argument("--gate-scale", type=float, default=0.02,
+                    help="max |1 - Sim3 scale|")
+    ap.add_argument("--gate-fps", type=float, default=20.0,
+                    help="min amortized e2e fps (ignored on cpu platform)")
+    ap.add_argument("--gate-lost", type=int, default=60,
+                    help="max lost frames")
     args = ap.parse_args()
 
     mav0 = os.path.join(args.dataset, "mav0")
@@ -51,6 +63,14 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if jax.default_backend() != "cpu":
+        # persistent compile cache: verified working on the TPU backend
+        # (XLA:CPU executable (de)serialization is known-bad on this host —
+        # see tests/conftest.py — so gate on the accelerator)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("MC_SLAM_JAXCACHE",
+                                         "/tmp/mc_slam_jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from mc_slam_tpu.camera import euroc_camera
     from mc_slam_tpu.eval.ate import ate_rmse
@@ -132,8 +152,8 @@ def main():
     kf_id_h = np.asarray(slam.m.kf_id)
     kf_act_h = np.asarray(slam.m.kf_active)
     anchor_kid = np.asarray([
-        (e[2] if (e[1] >= 0 and kf_act_h[e[1]] and kf_id_h[e[1]] == e[2])
-         else -1) for e in slam.trajectory], np.int64)
+        (kd if (k >= 0 and kf_act_h[k] and kf_id_h[k] == kd) else -1)
+        for (_, k, kd) in slam.traj.meta], np.int64)
     np.savez(os.path.join(art_dir, f"traj_clone_{args.profile}.npz"),
              t_est=t_est, P_est=P_est, t_gt=t_gt, P_gt=P_gt,
              anchor_kid=anchor_kid)
@@ -146,18 +166,49 @@ def main():
                   f"{len(slam.kf_slots)} KFs, {slam.n_loops_closed} loops")
     except Exception as e:  # rendering must never fail the eval
         print(f"map snapshot failed: {e}", file=sys.stderr)
+    # full wall-clock attribution (the reference prints median AND mean,
+    # mono_EuRoC_vins.cc:188-232): per-stage totals must account for the run,
+    # with the remainder reported as unattributed (compiles, host glue)
+    stages = slam.timers.summary()
+    wall = float(sum(times))
+    attributed = sum(v["total_s"] for v in stages.values())
+    # recompile telemetry: steady state must not recompile per frame
+    ncomp = {}
+    try:
+        from mc_slam_tpu.pipeline import tracking as _tr
+        ncomp = {
+            "frame_vi": int(_tr.frame_pipeline_vi._cache_size()),
+            "frame_visual": int(_tr.frame_pipeline_visual._cache_size()),
+        }
+    except Exception:
+        pass
+    import subprocess as _sp
+    try:
+        commit = _sp.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__))
+                         ).stdout.strip()
+    except Exception:
+        commit = ""
     result = {
         "frames": n,
+        "n_lost": int(slam.n_lost_frames),
         "keyframes": len(slam.kf_slots),
         "map_points": int(slam.m.mp_active.sum()),
         "vi_inited": bool(slam.vi_inited),
         "loops_closed": int(slam.n_loops_closed),
         "median_track_ms": float(np.median(times) * 1e3),
+        "mean_track_ms": float(np.mean(times) * 1e3),
         # amortized end-to-end throughput: total frames / total processing
         # wall clock INCLUDING keyframe-rate events (local mapping, loop
         # closing, GBA) and first-compile warmup — the honest pipeline rate
-        "e2e_fps_amortized": float(n / max(sum(times), 1e-9)),
-        "wall_s": float(sum(times)),
+        "e2e_fps_amortized": float(n / max(wall, 1e-9)),
+        # steady-state fps excluding the first 100 frames (compile warmup)
+        "e2e_fps_warm": float((n - 100) / max(sum(times[100:]), 1e-9))
+        if n > 200 else -1.0,
+        "wall_s": wall,
+        "wall_attributed_s": round(attributed, 1),
+        "wall_unattributed_s": round(wall - attributed, 1),
         "abs_scale_err": abs(1.0 - float(stats_s["scale"])),
         "ate_rmse": float(stats_s["rmse"]),
         "ate_scale": float(stats_s["scale"]),
@@ -165,8 +216,15 @@ def main():
         "ate_scale_post_init": float(stats_post.get("scale", -1.0)),
         "profile": args.profile,
         "duration_s": args.duration,
-        "stage_ms": {k: round(v["median_ms"], 2)
-                     for k, v in slam.timers.summary().items()},
+        "commit": commit,
+        "n_compiles": ncomp,
+        "stage_ms": {k: round(v["median_ms"], 2) for k, v in stages.items()},
+        "stage_detail": {k: {"n": v["n"],
+                             "median_ms": round(v["median_ms"], 2),
+                             "mean_ms": round(v["mean_ms"], 2),
+                             "max_ms": round(v["max_ms"], 1),
+                             "total_s": round(v["total_s"], 1)}
+                         for k, v in stages.items()},
     }
     print(json.dumps(result))
     out = args.out or os.path.join(os.path.dirname(__file__), "..",
@@ -175,6 +233,25 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out}", file=sys.stderr)
+    if args.gate:
+        import jax as _jax
+        on_accel = _jax.devices()[0].platform != "cpu"
+        fails = []
+        if result["ate_rmse_post_init"] > args.gate_ate:
+            fails.append(f"ate_rmse_post_init {result['ate_rmse_post_init']:.3f}"
+                         f" > {args.gate_ate}")
+        if result["abs_scale_err"] > args.gate_scale:
+            fails.append(f"abs_scale_err {result['abs_scale_err']:.4f}"
+                         f" > {args.gate_scale}")
+        if result["n_lost"] > args.gate_lost:
+            fails.append(f"n_lost {result['n_lost']} > {args.gate_lost}")
+        if on_accel and result["e2e_fps_amortized"] < args.gate_fps:
+            fails.append(f"e2e_fps {result['e2e_fps_amortized']:.1f}"
+                         f" < {args.gate_fps}")
+        if fails:
+            print("GATE FAILED: " + "; ".join(fails), file=sys.stderr)
+            sys.exit(1)
+        print("GATE PASSED", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,8 @@ def load_map(path):
 
 def save_system(path, sys):
     """Checkpoint a SlamSystem (map + host bookkeeping) for resume."""
+    if hasattr(sys, "flush"):
+        sys.flush()      # complete the in-flight frame before serializing
     extra = {
         "frame_id": sys.frame_id,
         "n_kf": sys.n_kf,

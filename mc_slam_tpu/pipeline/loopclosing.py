@@ -150,12 +150,19 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
 
 
 def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
-               fix_scale=False):
-    """Apply the loop correction: build the Sim3 pose graph over active KFs
-    (spanning chain + covisibility edges + the loop edge), optimize, map points
-    corrected with their reference KFs. Returns the new MapState.
+               fix_scale=False, loop_edges=None):
+    """Apply the loop correction: build the Sim3 ESSENTIAL graph over active
+    KFs — sequential chain (spanning tree), ALL covisibility pairs with
+    weight >= 100 across the map, the current KF's >= 50 links, every
+    PERSISTED past loop edge, and the new loop edge — optimize, correct map
+    points with their reference KFs. Returns the new MapState.
 
     sim3_lc: Sim3Result mapping loop-KF cam frame -> current-KF cam frame.
+    loop_edges: [(slot_a, slot_b)] previously accepted closures; the
+    reference stores each closure permanently on both keyframes
+    (LoopClosing.cpp:710-711, KeyFrame.cpp:836-847) and re-includes them in
+    every OptimizeEssentialGraph (Optimizer.cpp:4413-4420) — without them,
+    closure #N re-opens the seams healed by closures #1..N-1.
     """
     slots = [s for s in kf_slots]
     K = len(slots)
@@ -174,20 +181,49 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     t0 = -(R0 @ Pwk[..., None])[..., 0]
     s0 = jnp.ones(Kp, dtype)
 
-    # edges: sequential chain (spanning tree) + strongest covisibility pairs
-    ei, ej = [], []
+    # edges: sequential chain (spanning tree), then the full essential graph
+    ei, ej, ew = [], [], []
+    seen = set()
+
+    def add_edge(a, b, w=1.0):
+        key = (min(a, b), max(a, b))
+        if a == b or key in seen:
+            return
+        seen.add(key)
+        ei.append(a); ej.append(b); ew.append(w)
+
     for a, b in zip(range(K - 1), range(1, K)):
-        ei.append(a); ej.append(b)
-    covis = np.array(covisibility_weights(m, jnp.asarray(slot_cur)))
-    # current KF's strong covisible links
-    for k in np.nonzero(covis >= 50)[0]:
-        if int(k) in idx_of and idx_of[int(k)] != idx_of[slot_cur]:
-            ei.append(idx_of[int(k)]); ej.append(idx_of[slot_cur])
+        add_edge(a, b)
+    # all strong covisibility pairs across the map (>= 100 shared points, the
+    # reference's essential-graph threshold, Optimizer.cpp:4468-4499) — one
+    # batched K x K device pass; a chain + current-KF star distributes loop
+    # error along the single temporal path and over-rotates side branches
+    from mc_slam_tpu.slam_map.mapstate import covisibility_matrix
+    W = np.asarray(covisibility_matrix(m))
+    for a, b in zip(*np.nonzero(np.triu(W, 1) >= 100)):
+        if int(a) in idx_of and int(b) in idx_of:
+            add_edge(idx_of[int(a)], idx_of[int(b)])
+    # current KF's >= 50 links (denser around the active seam)
+    for k in np.nonzero(W[slot_cur] >= 50)[0]:
+        if int(k) in idx_of:
+            add_edge(idx_of[int(k)], idx_of[slot_cur])
+    # persisted loop edges from past closures, carrying their CLOSURE-TIME
+    # validated Sim3 measurement (recomputing from current estimates would
+    # bake any drift accumulated since the closure back into the constraint)
+    persisted_rows = []          # (edge_row, s_m, R_m, t_m) host values
+    for e in (loop_edges or []):
+        a, b = e[0], e[1]
+        if a in idx_of and b in idx_of and a != b:
+            if len(e) > 2:
+                persisted_rows.append((len(ei), e[2], e[3], e[4]))
+            # force-add (no dedup): a duplicate pair with the stored
+            # measurement simply adds its own least-squares rows
+            ei.append(idx_of[a]); ej.append(idx_of[b]); ew.append(5.0)
     i_loop, i_cur = idx_of[slot_loop], idx_of[slot_cur]
     n_edges = len(ei)
     Ep = max(64, int(np.ceil((n_edges + 1) / 32)) * 32)
     w_np = np.zeros(Ep, np.float32)
-    w_np[:n_edges] = 1.0
+    w_np[:n_edges] = ew
     w_np[n_edges] = 5.0                                  # strong loop edge
     ei = ei + [0] * (Ep - n_edges)
     ej = ej + [0] * (Ep - n_edges)
@@ -196,6 +232,14 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     ej_a = jnp.asarray(ej, jnp.int32)
     sm, Rm, tm = posegraph.edge_measurement(
         s0[ei_a], R0[ei_a], t0[ei_a], s0[ej_a], R0[ej_a], t0[ej_a])
+    if persisted_rows:
+        rows = jnp.asarray([r for r, *_ in persisted_rows], jnp.int32)
+        sm = sm.at[rows].set(jnp.asarray([float(s) for _, s, _, _ in
+                                          persisted_rows], dtype))
+        Rm = Rm.at[rows].set(jnp.asarray(np.stack(
+            [np.asarray(R, np.float32) for _, _, R, _ in persisted_rows])))
+        tm = tm.at[rows].set(jnp.asarray(np.stack(
+            [np.asarray(t, np.float32) for _, _, _, t in persisted_rows])))
 
     # the loop edge (i=loop, j=cur) at position n_edges: measurement
     # S_{cur,loop} — exactly the RANSAC Sim3, which maps loop-KF camera

@@ -511,3 +511,58 @@ def update_found_visible(m: MapState, visible_mask, found_mask):
         mp_visible=m.mp_visible + visible_mask.astype(m.mp_visible.dtype),
         mp_found=m.mp_found + found_mask.astype(m.mp_found.dtype),
     )
+
+
+@partial(jax.jit, static_argnames=("min_obs", "n_evict"))
+def cull_and_evict(m: MapState, current_kf_id, min_obs: int = 3,
+                   n_evict: int = 0):
+    """Fused start-of-KF-event landmark maintenance: MapPointCulling plus the
+    capacity policies (orphan sweep at >90% occupancy, lowest-value eviction
+    at >95%) with the occupancy decisions taken IN-GRAPH — the old host flow
+    pulled the active count twice per keyframe event, and on a remote-attached
+    chip each pull is a full round trip (~27 ms measured)."""
+    m, _ = cull_map_points(m, current_kf_id, min_obs)
+    n_active = jnp.sum(m.mp_active)
+
+    def sweep(mm):
+        mm2, _ = cull_orphans(mm, current_kf_id)
+        return mm2
+
+    m = jax.lax.cond(n_active > 0.9 * m.P, sweep, lambda mm: mm, m)
+    if n_evict > 0:
+        def evict(mm):
+            mm2, _ = evict_low_value(mm, current_kf_id, n_evict)
+            return mm2
+
+        m = jax.lax.cond(jnp.sum(m.mp_active) > 0.95 * m.P, evict,
+                         lambda mm: mm, m)
+    return m
+
+
+@partial(jax.jit, static_argnames=("min_obs",))
+def kf_event_stats(m: MapState, slot, min_obs: int = 3):
+    """Every scalar/vector the host needs to steer one keyframe event, in a
+    single program (ONE pull instead of ~5 round trips): the covisibility row
+    of `slot` (KeyFrame::GetCovisiblesByWeight source), per-KF redundancy
+    (KeyFrameCulling, src/LocalMapping.cpp:1777), the active-landmark count,
+    and the count of well-observed points tracked by `slot`
+    (Tracking::NeedNewKeyFrame's TrackedMapPoints(minObs),
+    src/Tracking.cpp:1893)."""
+    P = m.P
+    obs = (m.kf_mp >= 0) & m.kf_feat_valid & m.kf_active[:, None]
+    kf_sees = jnp.zeros((m.K, P), jnp.float32)
+    flat_k = jnp.repeat(jnp.arange(m.K), m.F)
+    flat_p = jnp.clip(m.kf_mp.reshape(-1), 0, P - 1)
+    kf_sees = kf_sees.at[flat_k, flat_p].max(obs.reshape(-1).astype(jnp.float32))
+    covis_row = kf_sees @ (kf_sees[slot] * m.mp_active)          # (K,)
+    obs_n = jnp.sum(kf_sees, axis=0) * m.mp_active               # (P,)
+    has = obs                                                    # (K, F)
+    mp = jnp.clip(m.kf_mp, 0, P - 1)
+    red = jnp.sum(has & (obs_n[mp] >= 4.0), axis=1).astype(jnp.float32)
+    n_pts = jnp.sum(has, axis=1)
+    red_ratio = red / jnp.maximum(n_pts.astype(jnp.float32), 1.0)
+    mp_ref = m.kf_mp[slot]
+    well = ((mp_ref >= 0) & m.kf_feat_valid[slot]
+            & (obs_n[jnp.clip(mp_ref, 0, P - 1)] >= min_obs))
+    return (covis_row, red_ratio, n_pts, jnp.sum(m.mp_active),
+            jnp.sum(well))

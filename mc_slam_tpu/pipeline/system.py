@@ -29,6 +29,7 @@ from mc_slam_tpu.imu.preintegration import (IMUNoise, euroc_noise, preint_identi
 from mc_slam_tpu.frontend import bow
 from mc_slam_tpu.geometry import pnp
 from mc_slam_tpu.pipeline import loopclosing, mapping, tracking, viinit
+from mc_slam_tpu.pipeline.trajstore import TrajStore
 from mc_slam_tpu.solver import ba_chunked, ba_vi_idp
 from mc_slam_tpu.slam_map.mapstate import (MapState, covisibility_weights,
                                             empty_map, observation_counts)
@@ -145,10 +146,13 @@ class SlamSystem:
         # track time (Tracking::mlRelativeFramePoses, src/Tracking.cpp:279 and
         # System::SaveTrajectoryTUM): composing against the CURRENT keyframe
         # poses at save time propagates VI-init rescaling, loop corrections,
-        # and GBA refinements to every past frame. Entries:
-        # (t, ref_slot, ref_kf_id, P_rel, R_rel, P_abs, R_abs); ref_slot < 0 or
-        # a recycled slot (kf_id mismatch) falls back to the absolute pose.
-        self.trajectory: list[tuple] = []
+        # and GBA refinements to every past frame. Rows live on DEVICE
+        # (TrajStore) — a per-frame host pull would be a tunnel round trip.
+        self.traj = TrajStore()
+        # one-frame-deferred summary of the last dispatched fused frame step
+        # (see _harvest_pending); None when no frame is in flight
+        self._pending: dict | None = None
+        self.n_lost_frames = 0
 
         # place recognition (loop closing + relocalization): the shipped
         # trained vocabulary when present (assets/vocab.npz), else random
@@ -156,6 +160,11 @@ class SlamSystem:
             bow.load_default_vocab(jax.random.PRNGKey(self.cfg.seed + 1)),
             self.cfg.max_kf)
         self.n_loops_closed = 0
+        # persistent loop edges [(slot_a, slot_b)]: every accepted closure,
+        # re-included in each subsequent essential-graph optimization
+        # (LoopClosing.cpp:710-711, Optimizer.cpp:4413-4420); the KFs carrying
+        # them are protected from culling (the reference's SetNotErase)
+        self.loop_edges: list[tuple[int, int]] = []
         self.enable_loop_closing = True
         self.localization_only = False   # Activate/DeactivateLocalizationMode
 
@@ -167,6 +176,13 @@ class SlamSystem:
         # host->device upload on a remote-attached chip)
         self._c0i = jnp.asarray(0, jnp.int32)
         self._c1f = jnp.asarray(1.0, jnp.float32)
+        self._fresh_fb = jnp.asarray(self._fresh_prior_info(1e2), jnp.float32)
+        self._prior_fresh_1e3 = jnp.asarray(self._fresh_prior_info(1e3),
+                                            jnp.float32)
+        self._zero_fmp = jnp.full(self.cfg.n_feat, -1, jnp.int32)
+        self._zero_ang = jnp.zeros(self.cfg.n_feat, jnp.float32)
+        self._cur_feat_mp = self._zero_fmp
+        self._cur_inliers = 0
         self.viinit_log = None      # set to utils.metrics.VIInitLog(dir) to enable
 
     # ------------------------------------------------------------------
@@ -199,11 +215,42 @@ class SlamSystem:
         device array staged by `upload`); t: time; imu: (T,7) rows
         [gyro, acc, dt] since the previous frame (VI mode); depth: optional
         (H,W) metric depth map (RGB-D mode, TrackRGBD); img_right: optional
-        rectified right image (stereo mode, TrackStereo)."""
+        rectified right image (stereo mode, TrackStereo).
+
+        Hot path (monocular, state OK): ONE fused device dispatch
+        (tracking.frame_pipeline_vi / frame_pipeline_visual) and ZERO blocking
+        pulls — the previous frame's summary is harvested at the START of the
+        next call (by then its async host copy has landed), and keyframe-rate
+        work runs there. This is the TPU-native shape of the reference's
+        tracking thread + LocalMapping/LoopClosing threads
+        (src/System.cpp:191-203): tracking never waits for its own scalars,
+        and map updates happen between frames at keyframe rate."""
         cfg = self.cfg
+        # deferred decisions for the in-flight frame (may run KF event /
+        # VI init / declare LOST) — BEFORE this frame's IMU is appended, so a
+        # keyframe cut at the previous frame gets exactly its own IMU span
+        self._harvest_pending()
         if imu is not None and len(imu):
             self.imu_since_kf.append(np.asarray(imu, np.float32))
             self.imu_since_frame.append(np.asarray(imu, np.float32))
+        depth_mode = depth is not None or img_right is not None
+        if self.state == OK and not depth_mode and self.reloc_buf is None:
+            # fused async hot path
+            with self.timers.stage("track"):
+                if self.vi_inited:
+                    self._dispatch_frame_vi(self.upload(img), t)
+                else:
+                    self._dispatch_frame_visual(self.upload(img), t)
+            self.last_time = t
+            self.frame_id += 1
+            return True      # optimistic; a lost frame surfaces next call
+        return self._track_sync(img, t, depth, img_right)
+
+    def _track_sync(self, img, t, depth=None, img_right=None):
+        """Synchronous per-frame path: initialization, relocalization, the
+        post-reloc bias window, and stereo/RGB-D modes (each needs host
+        decisions mid-frame; none is frame-rate-critical in steady state)."""
+        cfg = self.cfg
         with self.timers.stage("extract"):
             feats = extractor.extract(self.upload(img),
                                       n_features=cfg.n_feat, n_levels=cfg.n_levels)
@@ -266,25 +313,201 @@ class SlamSystem:
                         self._invalidate_frame_caches()
         self.last_feats = feats
         self.last_time = t
-        self.frame_id += 1
         if self.state == OK:
-            P, R = np.asarray(self.last_pose[0]), np.asarray(self.last_pose[1])
-            k = self.last_kf_slot
-            if k is not None and k in self.kf_slots:
-                # anchor pose pulled once per KF-rate event, not per frame
-                cache = getattr(self, "_anchor_cache", None)
-                if cache is None or cache[0] != k:
-                    cache = (k, self.kf_id_host[k],
-                             np.asarray(self.m.kf_ns.P[k]),
-                             np.asarray(self.m.kf_ns.R[k]))
-                    self._anchor_cache = cache
-                _, kid, Pk, Rk = cache
-                P_rel = Rk.T @ (P - Pk)
-                R_rel = Rk.T @ R
-                self.trajectory.append((t, k, kid, P_rel, R_rel, P, R))
-            else:
-                self.trajectory.append((t, -1, -1, None, None, P, R))
+            self._record_traj_sync(t)
+        elif self.state == LOST:
+            self.n_lost_frames += 1
+        self.frame_id += 1
         return ok
+
+    # ------------------------------------------------------------------
+    # Fused async per-frame path
+    # ------------------------------------------------------------------
+    def _anchor_slot(self):
+        k = self.last_kf_slot
+        if k is not None and k in self.kf_slots:
+            return k, self.kf_id_host[k]
+        return -1, -1
+
+    def _record_traj_sync(self, t):
+        """Trajectory row for a synchronously-tracked frame (one small
+        dispatch; these paths are off the hot loop)."""
+        k, kid = self._anchor_slot()
+        P, R = self.last_pose
+        row = self._traj_row_jit(self.m, P, R,
+                                 jnp.asarray(max(k, 0), jnp.int32))
+        if k < 0:
+            row = (jnp.zeros(3), jnp.eye(3), row[2], row[3])
+        self.traj.append(row, t, k, kid)
+
+    @property
+    def _traj_row_jit(self):
+        fn = getattr(self, "_traj_row_jit_", None)
+        if fn is None:
+            fn = jax.jit(tracking._traj_row)
+            self._traj_row_jit_ = fn
+        return fn
+
+    def _dispatch_frame_vi(self, img, t):
+        """Dispatch the fused VI frame program; no host sync."""
+        cfg = self.cfg
+        rows = (np.concatenate(self.imu_since_frame, 0)
+                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        rows = rows[-cfg.max_imu_per_kf:]
+        rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
+        rawp[:len(rows)] = rows
+        if self.prior is None:
+            self.prior = ba_vi.PriorFactor(
+                cam=self._c0i, ns0=self.last_ns,
+                info=self._prior_fresh_1e3, valid=self._c1f)
+        pfm, pan = (self._prev_match if self._prev_match is not None
+                    else (self._zero_fmp, self._zero_ang))
+        k, kid = self._anchor_slot()
+        dt_f = np.float32(max(t - self.last_time, 1e-3))
+        backup = (self.last_ns, self.prior, self.last_pose, self.velocity,
+                  self._prev_match, self.m.mp_found, self.m.mp_visible,
+                  self._cur_feat_mp)
+        (feats, uv, ns2, feat_mp, H_prior, mp_found, mp_vis, traj_row,
+         summary) = tracking.frame_pipeline_vi(
+            self.m, img, rawp, self.cam, self.ext, self.noise, self.last_ns,
+            self.gw, self.prior, pfm, pan,
+            np.int32(max(k, 0)), dt_f, self._fresh_fb,
+            sigma_bg=float(self.noise.sigma_bg),
+            sigma_ba=float(self.noise.sigma_ba),
+            n_features=cfg.n_feat, n_levels=cfg.n_levels,
+            rtol=cfg.track_rtol, has_prev=self._prev_match is not None)
+        try:
+            summary.copy_to_host_async()
+        except Exception:
+            pass
+        # optimistic state update (rolled back at harvest if the frame was
+        # actually lost)
+        self.last_ns = ns2
+        self.last_pose = (ns2.P, ns2.R)
+        self.prior = ba_vi.PriorFactor(cam=self._c0i, ns0=ns2, info=H_prior,
+                                       valid=self._c1f)
+        self.imu_since_frame = []
+        self._cur_feat_mp = feat_mp
+        self._prev_match = (feat_mp, feats.angle)
+        self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
+        self.last_feats = feats
+        self.traj.append(traj_row, t, k, kid)
+        self._pending = dict(mode="vi", summary=summary, feats=feats, uv=uv,
+                             t=t, frame_id=self.frame_id, backup=backup)
+
+    def _dispatch_frame_visual(self, img, t):
+        """Dispatch the fused visual frame program; no host sync."""
+        cfg = self.cfg
+        self.imu_since_frame = []     # pre-init per-frame IMU is unused
+        P_last, R_last = self.last_pose
+        dP, dR = self.velocity
+        pfm, pan = (self._prev_match if self._prev_match is not None
+                    else (self._zero_fmp, self._zero_ang))
+        k, kid = self._anchor_slot()
+        backup = (self.last_ns, self.prior, self.last_pose, self.velocity,
+                  self._prev_match, self.m.mp_found, self.m.mp_visible,
+                  self._cur_feat_mp)
+        (feats, uv, res, vel, mp_found, mp_vis, traj_row,
+         summary) = tracking.frame_pipeline_visual(
+            self.m, img, self.cam, self.ext, P_last, R_last, dP, dR,
+            pfm, pan, np.int32(max(k, 0)),
+            np.int32(cfg.min_track_inliers),
+            n_features=cfg.n_feat, n_levels=cfg.n_levels,
+            rtol=cfg.track_rtol, has_prev=self._prev_match is not None)
+        try:
+            summary.copy_to_host_async()
+        except Exception:
+            pass
+        self.velocity = vel
+        self.last_pose = (res.P, res.R)
+        self._cur_feat_mp = res.feat_mp
+        self._prev_match = (res.feat_mp, feats.angle)
+        self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
+        self.last_feats = feats
+        self.traj.append(traj_row, t, k, kid)
+        self._pending = dict(mode="vis", summary=summary, feats=feats, uv=uv,
+                             t=t, frame_id=self.frame_id, backup=backup,
+                             pose_before=(P_last, R_last))
+
+    def _rollback_pending(self, p):
+        (self.last_ns, self.prior, self.last_pose, self.velocity,
+         self._prev_match, mp_found, mp_vis, self._cur_feat_mp) = p["backup"]
+        self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
+        self.traj.pop_last()
+
+    def _harvest_pending(self):
+        """Apply the deferred decisions for the last dispatched frame: LOST
+        transition, keyframe insertion (+ local mapping, loop closing), and
+        the VI-init attempt. Runs at the start of the NEXT track() call, when
+        the async summary copy has landed — so the hot loop never blocks."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        cfg = self.cfg
+        with self.timers.stage("harvest_pull"):
+            s = np.asarray(p["summary"])
+        n_in = int(s[0])
+        if p["mode"] == "vi":
+            if n_in < max(6, cfg.min_track_inliers // 2):
+                self._rollback_pending(p)
+                self._prev_match = None
+                self.state = LOST
+                self.n_lost_frames += 1
+                return
+        else:
+            if n_in < cfg.min_track_inliers:
+                # motion-prior-free fallback against the reference keyframe
+                # (TrackReferenceKeyFrame, src/Tracking.cpp:1524) — host-side
+                # (PnP RANSAC); rare, so the round trips are acceptable
+                res2 = self._track_reference_kf(p["feats"], p["uv"])
+                if res2 is None:
+                    self._rollback_pending(p)
+                    self._prev_match = None
+                    self.state = LOST
+                    self.n_lost_frames += 1
+                    return
+                n_in = int(res2.n_inliers)
+                P_last, R_last = p["pose_before"]
+                RlT = jnp.swapaxes(R_last, -1, -2)
+                self.velocity = ((RlT @ (res2.P - P_last)[..., None])[..., 0],
+                                 RlT @ res2.R)
+                self.last_pose = (res2.P, res2.R)
+                self._cur_feat_mp = res2.feat_mp
+                self._prev_match = (res2.feat_mp, p["feats"].angle)
+                _, _, _, _, _, mf, mv, _ = p["backup"]
+                vis_mask = jnp.zeros(self.m.P, bool).at[
+                    jnp.clip(res2.feat_mp, 0, self.m.P - 1)].set(
+                        res2.feat_mp >= 0, mode="drop")
+                self.m = mapping.update_found_visible(
+                    self.m._replace(mp_found=mf, mp_visible=mv),
+                    vis_mask, vis_mask)
+                k, kid = self._anchor_slot()
+                row = self._traj_row_jit(self.m, res2.P, res2.R,
+                                         jnp.asarray(max(k, 0), jnp.int32))
+                self.traj.replace_last(row)
+        self._cur_inliers = n_in
+        if (not self.localization_only
+                and self._need_new_kf(fid=p["frame_id"])):
+            with self.timers.stage("local_mapping"):
+                with self.timers.stage("lm_insert"):
+                    slot = self._create_keyframe(p["feats"], p["uv"], p["t"],
+                                                 fid=p["frame_id"])
+                self._local_mapping()
+            with self.timers.stage("loop_closing"):
+                self._try_close_loop(slot)
+            self._invalidate_frame_caches()
+        if not self.vi_inited and cfg.use_imu:
+            with self.timers.stage("vi_init"):
+                self._maybe_vi_init(p["t"])
+                if self.vi_inited:
+                    self._invalidate_frame_caches()
+
+    def flush(self):
+        """Complete any in-flight frame and flush device trajectory rows.
+        Call before reading system state externally."""
+        self._harvest_pending()
+        self.traj.flush()
 
     # ------------------------------------------------------------------
     # Depth modes: RGB-D and stereo (System.h:45-50 sensor enum; stereo
@@ -500,8 +723,11 @@ class SlamSystem:
             self.next_fresh_slot += 1
             return slot
         # capacity exhausted: evict — prefer the most redundant old KF,
-        # protecting KF0 (gauge) and the recent local window
+        # protecting KF0 (gauge), the recent local window, and loop-edge
+        # carriers (KeyFrame::SetNotErase for loop KFs)
         prot = set(self.kf_slots[-max(2, self.cfg.local_window):]) | {self.kf_slots[0]}
+        for e in self.loop_edges:
+            prot.add(e[0]); prot.add(e[1])
         cand = [s2 for s2 in self.kf_slots if s2 not in prot]
         if not cand:
             cand = [self.kf_slots[1]]
@@ -533,25 +759,24 @@ class SlamSystem:
         Rh = np.asarray(self.m.kf_ns.R[heir])
         R_hk = Rh.T @ Rk                     # culled KF in heir frame
         P_hk = Rh.T @ (Pk - Ph)
-        for idx, e in enumerate(self.trajectory):
-            if e[1] == s2 and e[2] == kid:
-                t, _, _, P_rel, R_rel, P_abs, R_abs = e
-                self.trajectory[idx] = (t, heir, heir_id,
-                                        P_hk + R_hk @ P_rel, R_hk @ R_rel,
-                                        P_abs, R_abs)
+        self.traj.reparent(s2, kid, heir, heir_id, P_hk, R_hk)
         ref = self.m.mp_ref_kf
         self.m = self.m._replace(
             mp_ref_kf=jnp.where(ref == s2, heir, ref))
         self.m = mapping.deactivate_keyframe(self.m, jnp.asarray(s2))
         self.kf_slots.remove(s2)
+        self.loop_edges = [e for e in self.loop_edges
+                           if e[0] != s2 and e[1] != s2]
         self.kf_imu_raw.pop(s2, None)
         self.kf_time_host.pop(s2, None)
         self.kf_id_host.pop(s2, None)
         self.broken_chain_slots.discard(s2)
         self.free_slots.append(s2)
 
-    def _insert_kf_raw(self, P_pose, R_pose, feats, uv, t_kf, cam_frame=False):
+    def _insert_kf_raw(self, P_pose, R_pose, feats, uv, t_kf, cam_frame=False,
+                       fid=None):
         """Write a keyframe into a free slot. Returns slot index."""
+        fid = self.frame_id if fid is None else fid
         if cam_frame:
             P_pose, R_pose = self._cam_to_body(P_pose, R_pose)
         slot = self._alloc_kf_slot()
@@ -560,10 +785,12 @@ class SlamSystem:
         if self.cfg.use_imu and self.imu_since_kf:
             raw = np.concatenate(self.imu_since_kf, 0)
             self.kf_imu_raw[slot] = raw
-            bg = np.asarray(self.last_ns.bg_full) if self.vi_inited else np.zeros(3)
-            ba_ = np.asarray(self.last_ns.ba_full) if self.vi_inited else np.zeros(3)
-            pre = self._preintegrate_raw(raw, jnp.asarray(bg, jnp.float32),
-                                         jnp.asarray(ba_, jnp.float32))
+            # device handles, no pull: bias of the state carried into this KF
+            bg = (self.last_ns.bg_full if self.vi_inited
+                  else jnp.zeros(3, jnp.float32))
+            ba_ = (self.last_ns.ba_full if self.vi_inited
+                   else jnp.zeros(3, jnp.float32))
+            pre = self._preintegrate_raw(raw, bg, ba_)
             m = m._replace(kf_preint=jax.tree_util.tree_map(
                 lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
             self.imu_since_kf = []
@@ -578,7 +805,7 @@ class SlamSystem:
         self.m = m._replace(
             kf_ns=ns,
             kf_time=m.kf_time.at[slot].set(t_kf),
-            kf_id=m.kf_id.at[slot].set(self.frame_id),
+            kf_id=m.kf_id.at[slot].set(fid),
             kf_active=m.kf_active.at[slot].set(True),
             kf_uv=m.kf_uv.at[slot].set(uv),
             kf_level=m.kf_level.at[slot].set(feats.level),
@@ -592,13 +819,13 @@ class SlamSystem:
         )
         self.n_kf += 1
         self.kf_time_host[slot] = float(t_kf)
-        self.kf_id_host[slot] = int(self.frame_id)
+        self.kf_id_host[slot] = int(fid)
         if self._chain_break_pending:
             self.broken_chain_slots.add(slot)
             self._chain_break_pending = False
         self.kf_slots.append(slot)
         self.last_kf_slot = slot
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = fid
         if self.first_kf_time is None:
             self.first_kf_time = t_kf
         self.loop.add_keyframe(slot, feats.desc_pm1,
@@ -888,12 +1115,14 @@ class SlamSystem:
         culling, loop correction, VI init, relocalization)."""
         self._ref_tracked_cache = None
         self._anchor_cache = None
+        self._covis_row_cache = None
 
-    def _need_new_kf(self):
+    def _need_new_kf(self, fid=None):
         cfg = self.cfg
+        fid = self.frame_id if fid is None else fid
         if self.reloc_buf is not None:
             return False
-        since = self.frame_id - self.last_kf_frame
+        since = fid - self.last_kf_frame
         if since < cfg.kf_min_gap:
             return False
         if since >= cfg.kf_max_gap:
@@ -914,9 +1143,9 @@ class SlamSystem:
         return (self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
                 and self._cur_inliers > 15)
 
-    def _create_keyframe(self, feats, uv, t):
+    def _create_keyframe(self, feats, uv, t, fid=None):
         P, R = self.last_pose
-        slot = self._insert_kf_raw(P, R, feats, uv, t_kf=t)
+        slot = self._insert_kf_raw(P, R, feats, uv, t_kf=t, fid=fid)
         # carry tracked associations into the KF
         self.m = self.m._replace(
             kf_mp=self.m.kf_mp.at[slot].set(self._cur_feat_mp))
@@ -925,12 +1154,21 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # Local mapping (synchronous, per new KF)
     # ------------------------------------------------------------------
+    def _covis_row(self, slot):
+        """Host copy of the covisibility weights row for `slot`, served from
+        the per-KF-event stats pull when fresh (one round trip serves every
+        neighbor query of the event)."""
+        cache = getattr(self, "_covis_row_cache", None)
+        if cache is not None and cache[0] == slot:
+            return cache[1].copy()
+        return np.array(covisibility_weights(self.m, slot))
+
     def _covisible(self, slot, n):
         """Top-n covisible keyframes with weight >= covis_th (the reference's
         UpdateConnections threshold 15, src/KeyFrame.cpp:668; falls back to the
         single best neighbor when nothing clears the bar, as the reference
         keeps the max-weight edge regardless)."""
-        w = np.array(covisibility_weights(self.m, slot))
+        w = self._covis_row(slot)
         w[slot] = 0
         w = w * self._active_mask()
         order = np.argsort(-w)
@@ -952,7 +1190,7 @@ class SlamSystem:
         """Covisible neighbors that clear covis_th — no max-weight fallback.
         Used where a weakly-connected neighbor would do harm (e.g. as the only
         gauge-fixing observer of a local BA window)."""
-        w = np.array(covisibility_weights(self.m, slot))
+        w = self._covis_row(slot)
         w[slot] = 0
         w = w * self._active_mask()
         order = np.argsort(-w)
@@ -961,23 +1199,21 @@ class SlamSystem:
     def _local_mapping(self):
         cfg = self.cfg
         slot = self.last_kf_slot
-        self.m, _ = mapping.cull_map_points(self.m, jnp.asarray(self.frame_id),
-                                            jnp.asarray(self.cfg.cull_min_obs))
-        # landmark-table pressure: sweep orphaned points (<=1 observer) when
-        # >90% of slots are taken, so triangulation never starves for slots
-        n_active = int(jnp.sum(self.m.mp_active))
-        if n_active > 0.9 * self.m.P:
-            self.m, _ = mapping.cull_orphans(self.m, jnp.asarray(self.frame_id))
-            n_active = int(jnp.sum(self.m.mp_active))
-        # still nearly full after the orphan sweep: bounded-capacity eviction
-        # of the lowest-value points down to ~88% (see mapping.evict_low_value)
-        if n_active > 0.95 * self.m.P:
-            self.m, _ = mapping.evict_low_value(
-                self.m, jnp.asarray(self.frame_id),
-                n_evict=int(0.07 * self.m.P))
-        # one covisibility pass serves triangulation, fusion and the stats
-        # refresh (each _covisible is a device sync; within one KF event the
-        # neighbor ranking shifts by at most a few freshly-fused points)
+        # landmark maintenance: culling + capacity policies, occupancy
+        # decisions in-graph (mapping.cull_and_evict) — zero host pulls
+        with self.timers.stage("lm_cull"):
+            self.m = mapping.cull_and_evict(self.m, jnp.asarray(self.frame_id),
+                                            min_obs=cfg.cull_min_obs,
+                                            n_evict=int(0.07 * self.m.P))
+        # ONE stats pull steers the whole event: covisibility row (neighbor
+        # selection for triangulation/fusion/BA observers) + redundancy +
+        # occupancy (each separate pull is a ~27 ms tunnel round trip)
+        with self.timers.stage("lm_stats1"):
+            covis_row, red0, npts0, _, _ = jax.device_get(
+                mapping.kf_event_stats(self.m, jnp.asarray(slot),
+                                       min_obs=(2 if len(self.kf_slots) <= 2
+                                                else 3)))
+        self._covis_row_cache = (slot, covis_row)
         nbs = self._covisible(slot, 7)
         # triangulate + fuse with top covisible neighbors: ONE scanned device
         # program each (padding pairs are no-ops), instead of 12 dispatches —
@@ -985,13 +1221,15 @@ class SlamSystem:
         # this is the dominant share of the KF-event latency tax
         nb4 = (nbs[:4] + [slot] * 4)[:4]
         nbv = [1.0] * min(len(nbs), 4) + [0.0] * 4
-        self.m, _ = mapping.create_points_with_neighbors(
-            self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32), self.cam,
-            self.ext, n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
-        self.m, _ = mapping.fuse_neighbors(
-            self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32),
-            jnp.asarray(nbv[:4], jnp.float32), self.cam, self.ext)
-        self._local_ba()
+        with self.timers.stage("lm_tri_fuse"):
+            self.m, _ = mapping.create_points_with_neighbors(
+                self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32), self.cam,
+                self.ext, n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
+            self.m, _ = mapping.fuse_neighbors(
+                self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32),
+                jnp.asarray(nbv[:4], jnp.float32), self.cam, self.ext)
+        with self.timers.stage("lm_ba"):
+            self._local_ba()
         # representative descriptors + normals/scale ranges of the points this
         # KF observes (ComputeDistinctiveDescriptors/UpdateNormalAndDepth run
         # after fusion in the reference, src/LocalMapping.cpp:1550). Runs
@@ -1005,11 +1243,23 @@ class SlamSystem:
         if cfg.refresh_stats:
             wslots = ([slot] + nbs + [slot] * 7)[:8]
             wvalid = [True] * (1 + len(nbs)) + [False] * 7
-            self.m = mapping.refresh_point_stats(
-                self.m, jnp.asarray(wslots, jnp.int32),
-                jnp.asarray(wvalid[:8]), self.ext,
-                n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
-        self._cull_keyframes()
+            with self.timers.stage("lm_refresh"):
+                self.m = mapping.refresh_point_stats(
+                    self.m, jnp.asarray(wslots, jnp.int32),
+                    jnp.asarray(wvalid[:8]), self.ext,
+                    n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
+        # end-of-event stats pull (post-BA pruning/fusion): redundancy for
+        # keyframe culling + the well-observed count NeedNewKeyFrame compares
+        # against — one round trip for both
+        with self.timers.stage("lm_stats2"):
+            covis2, red2, npts2, _, well2 = jax.device_get(
+                mapping.kf_event_stats(self.m, jnp.asarray(slot),
+                                       min_obs=(2 if len(self.kf_slots) <= 2
+                                                else 3)))
+        self._covis_row_cache = (slot, covis2)
+        self._ref_tracked_cache = int(well2)
+        with self.timers.stage("lm_cullkf"):
+            self._cull_keyframes(red2, npts2)
         # keep the tracking state synced to the (BA-updated) newest KF
         self.last_pose = self._kf_body_pose(slot)
         if self.vi_inited:
@@ -1317,7 +1567,7 @@ class SlamSystem:
             pre=pre, info_prv=info_prv, info_bias=info_bias,
             valid=evj)
 
-    def _cull_keyframes(self):
+    def _cull_keyframes(self, ratio_all=None, npts_all=None):
         """90% redundancy rule with VI time-gap guards (src/LocalMapping.cpp:1777):
         never cull within 0.11 s of the current KF; gap(next, prev) must stay
         under 0.51 s, relaxed to 3.01 s for VI-inited KFs older than 4 s; the
@@ -1326,15 +1576,20 @@ class SlamSystem:
         # redundancy for every KF in ONE batched pass per removal round:
         # each removal changes observation counts, so recompute before
         # accepting the next candidate (matches the reference's sequential
-        # reevaluation) — zero-removal events cost exactly one device pull
+        # reevaluation) — zero-removal events reuse the event's stats pull
+        first = True
         while True:
             active = list(self.kf_slots)
-            protected = set()
+            # loop-edge carriers are never culled (SetNotErase semantics)
+            protected = {s for e in self.loop_edges for s in e[:2]}
             if self.cfg.use_imu and len(active) > self.cfg.local_window:
                 wfront = len(active) - self.cfg.local_window
-                protected = {active[wfront], active[wfront - 1]}
-            ratio_all, npts_all = map(np.asarray,
-                                      mapping.kf_redundancy_all(self.m))
+                protected |= {active[wfront], active[wfront - 1]}
+            if first and ratio_all is not None:
+                first = False
+            else:
+                ratio_all, npts_all = map(np.asarray,
+                                          mapping.kf_redundancy_all(self.m))
             removed = False
             for i, s in enumerate(active[1:-1], start=1):
                 if s in protected:
@@ -1506,7 +1761,8 @@ class SlamSystem:
         # src/LoopClosing.cpp:137-141)
         if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 10:
             return
-        cands = self.loop.detect(self.m, slot, act)
+        with self.timers.stage("lc_detect"):
+            cands = self.loop.detect(self.m, slot, act)
         # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
         # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330).
         # At most 2 streaked + 1 fallback candidate per event (each RANSAC +
@@ -1521,16 +1777,21 @@ class SlamSystem:
         cand, res = -1, None
         for c, bar in [(c, 20) for c in streaked] + [(c, 40) for c in fallback]:
             self.key, sub = jax.random.split(self.key)
-            r = loopclosing.compute_sim3_for_loop(
-                self.m, sub, slot, c, self.cam, min_inliers=bar,
-                fix_scale=self.vi_inited)
-            if bool(r.ok):
+            with self.timers.stage("lc_sim3"):
+                r = loopclosing.compute_sim3_for_loop(
+                    self.m, sub, slot, c, self.cam, min_inliers=bar,
+                    fix_scale=self.vi_inited)
+                ok = bool(r.ok)
+            if ok:
                 cand, res = c, r
                 break
         if cand < 0:
             return
         self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
-                                        fix_scale=self.vi_inited)
+                                        fix_scale=self.vi_inited,
+                                        loop_edges=self.loop_edges)
+        self.loop_edges.append((cand, slot, float(res.s),
+                                np.asarray(res.R), np.asarray(res.t)))
         self.n_loops_closed += 1
         self._last_loop_nkf = self.n_kf
         # cross-seam fusion (CorrectLoop dedup + SearchAndFuse,
@@ -1655,12 +1916,7 @@ class SlamSystem:
         # were captured in the pre-init visual scale — composing them
         # unscaled against the rescaled keyframe poses leaves every pre-init
         # frame ~s x off and dominates full-run ATE
-        for idx, e in enumerate(self.trajectory):
-            t_e, k, kid, P_rel, R_rel, P_abs, R_abs = e
-            self.trajectory[idx] = (
-                t_e, k, kid,
-                None if P_rel is None else P_rel * s, R_rel,
-                None if P_abs is None else P_abs * s, R_abs)
+        self.traj.rescale(s)
         self.gw = res.gw
         self.vi_inited = True
         self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], ns)
@@ -1689,6 +1945,7 @@ class SlamSystem:
         (GlobalBundleAdjustment(NavStatePRV), src/Optimizer.cpp:629/3346 — the
         reference runs it after loop closures; offline drivers may also call
         it once at sequence end before saving the trajectory)."""
+        self._harvest_pending()
         self._local_ba(force_all=True, prune=False)
         self._invalidate_frame_caches()
 
@@ -1698,16 +1955,9 @@ class SlamSystem:
         recorded before VI init / loop closures / GBA inherit those
         corrections through their reference keyframe. Frames whose reference
         keyframe was culled (or its slot recycled) keep their track-time pose."""
+        self.flush()
         kf_P = np.asarray(self.m.kf_ns.P)
         kf_R = np.asarray(self.m.kf_ns.R)
         kf_id = np.asarray(self.m.kf_id)
         kf_act = np.asarray(self.m.kf_active)
-        out = []
-        for (t, k, kid, P_rel, R_rel, P_abs, R_abs) in self.trajectory:
-            if k >= 0 and kf_act[k] and kf_id[k] == kid:
-                R = kf_R[k] @ R_rel
-                P = kf_P[k] + kf_R[k] @ P_rel
-                out.append((t, P, R))
-            else:
-                out.append((t, P_abs, R_abs))
-        return out
+        return self.traj.compose(kf_P, kf_R, kf_id, kf_act)

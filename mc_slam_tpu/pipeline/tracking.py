@@ -281,3 +281,155 @@ def track_frame_vi_step(m: MapState, feats: Features, uv_ideal, cam: Camera,
     summary = jnp.stack([n_in.astype(jnp.float32),
                          bias_jump.astype(jnp.float32)])
     return ns2, feat_mp, H_prior, m.mp_found + fv, m.mp_visible + fv, summary
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused per-frame pipelines: extract + undistort + track + in-graph
+# fallback + trajectory row, ONE device dispatch per frame. The host never
+# blocks on these results in the hot loop — decisions that need scalars
+# (LOST, keyframe insertion) are taken one frame later from an async-copied
+# summary (SlamSystem._harvest_pending). This is the TPU-native replacement
+# for the reference's 20 fps-paced tracking thread (src/System.cpp:191-192):
+# on a remote-attached chip one dispatch+sync round trip costs ~27 ms, so a
+# real-time system gets exactly one dispatch and zero syncs per frame.
+# ---------------------------------------------------------------------------
+
+def _traj_row(m: MapState, P, R, anchor_slot):
+    """Pose of this frame relative to its anchor keyframe (the reference's
+    mlRelativeFramePoses, src/Tracking.cpp:1123; composed against the FINAL
+    keyframe pose at save time so corrections propagate)."""
+    Pk = m.kf_ns.P[anchor_slot]
+    Rk = m.kf_ns.R[anchor_slot]
+    RkT = jnp.swapaxes(Rk, -1, -2)
+    P_rel = (RkT @ (P - Pk)[..., None])[..., 0]
+    R_rel = RkT @ R
+    return P_rel, R_rel, P, R
+
+
+@partial(jax.jit,
+         static_argnames=("n_features", "n_levels", "iters", "rtol",
+                          "has_prev"))
+def frame_pipeline_vi(m: MapState, img, rawp, cam: Camera,
+                      ext: factors.Extrinsics, noise, ns_last, gw,
+                      prior_last: ba_vi.PriorFactor, prev_feat_mp, prev_angle,
+                      anchor_slot, dt_f, fresh_prior_fb,
+                      sigma_bg=2e-5, sigma_ba=5e-3,
+                      n_features=1024, n_levels=8, iters: int = 20,
+                      rtol: float = 0.0, has_prev: bool = True,
+                      fb_min_inliers=20):
+    """One dispatch per VI frame: ORB extraction, undistortion, fused IMU
+    tracking step, and the wide-window visual fallback as a lax.cond branch
+    (the host-side retry in the old _track_frame_vi cost a full round trip
+    exactly on the frames that were already struggling).
+
+    fresh_prior_fb: (15,15) prior info used when the fallback is taken (weak
+    pose/velocity, keyframe-grade biases — see SlamSystem._fresh_prior_info).
+    Returns (feats, uv, ns2, feat_mp, H_prior, mp_found, mp_vis,
+    traj(P_rel, R_rel, P_abs, R_abs), summary[n_in, bias_jump, used_fb,
+    n_matches])."""
+    from mc_slam_tpu.frontend import extractor as _ex
+    feats = _ex.extract(img, n_features=n_features, n_levels=n_levels)
+    from mc_slam_tpu.camera import undistort_points as _undist
+    uv = _undist(cam, feats.xy)
+    pfm = prev_feat_mp if has_prev else None
+    pan = prev_angle if has_prev else None
+    from mc_slam_tpu.imu.preintegration import predict_navstate, preintegrate
+    pre_last_cur = preintegrate(rawp, ns_last.bg_full, ns_last.ba_full, noise)
+    ns_cur0 = predict_navstate(ns_last, pre_last_cur, gw)
+    ns2, feat_mp, n_m, n_in, H_marg = track_frame_vi(
+        m, feats, uv, cam, ext, ns_cur0, ns_last, pre_last_cur, gw,
+        prior_last, iters=iters, sigma_bg=sigma_bg, sigma_ba=sigma_ba,
+        rtol=rtol, prev_feat_mp=pfm, prev_angle=pan)
+    bias_jump = ((jnp.max(jnp.abs(ns2.dbg - ns_last.dbg)) > 0.05)
+                 | (jnp.max(jnp.abs(ns2.dba - ns_last.dba)) > 0.5))
+    H_prior = (0.5 * (H_marg + H_marg.T)
+               + 1e-3 * jnp.eye(15, dtype=H_marg.dtype))
+    need_fb = (n_in < fb_min_inliers) | bias_jump
+
+    def with_fallback(_):
+        resv = track_frame_visual(m, feats, uv, cam, ext, ns_last.P,
+                                  ns_last.R, radius_coarse=40.0, iters=iters,
+                                  prev_feat_mp=pfm, prev_angle=pan)
+        take = (resv.n_inliers > n_in) | bias_jump
+        V_est = (resv.P - ns_last.P) / jnp.maximum(dt_f, 1e-3)
+        ns_fb = ns_last._replace(P=resv.P, R=resv.R, V=V_est)
+        sel = lambda a, b: jnp.where(take, a, b)
+        ns_o = jax.tree_util.tree_map(sel, ns_fb, ns2)
+        return (ns_o, sel(resv.feat_mp, feat_mp),
+                sel(fresh_prior_fb, H_prior),
+                sel(resv.n_inliers, n_in), take)
+
+    def no_fallback(_):
+        return (ns2, feat_mp, H_prior, n_in,
+                jnp.asarray(False))
+
+    ns_f, fmp_f, Hp_f, nin_f, used_fb = jax.lax.cond(
+        need_fb, with_fallback, no_fallback, None)
+    vis = jnp.zeros(m.P, bool).at[
+        jnp.clip(fmp_f, 0, m.P - 1)].set(fmp_f >= 0, mode="drop")
+    fv = vis.astype(m.mp_found.dtype)
+    traj = _traj_row(m, ns_f.P, ns_f.R, anchor_slot)
+    summary = jnp.stack([nin_f.astype(jnp.float32),
+                         bias_jump.astype(jnp.float32),
+                         used_fb.astype(jnp.float32),
+                         n_m.astype(jnp.float32)])
+    return (feats, uv, ns_f, fmp_f, Hp_f, m.mp_found + fv, m.mp_visible + fv,
+            traj, summary)
+
+
+@partial(jax.jit,
+         static_argnames=("n_features", "n_levels", "iters", "rtol",
+                          "has_prev"))
+def frame_pipeline_visual(m: MapState, img, cam: Camera,
+                          ext: factors.Extrinsics, P_last, R_last, dP, dR,
+                          prev_feat_mp, prev_angle, anchor_slot,
+                          min_inliers,
+                          n_features=1024, n_levels=8, iters: int = 20,
+                          rtol: float = 0.0, has_prev: bool = True):
+    """One dispatch per visual frame (pre-VI-init / vision-only modes):
+    extraction, undistortion, velocity-model tracking, and the wide-window
+    retry from the last pose as a lax.cond branch (TrackWithMotionModel's
+    widened re-search, src/Tracking.cpp:1735). The motion-prior-free
+    reference-keyframe fallback stays on the host (rare; needs PnP RANSAC).
+
+    Returns (feats, uv, res(TrackResult), vel(dP,dR), mp_found, mp_vis,
+    traj, summary[n_in, used_fb, n_matches])."""
+    from mc_slam_tpu.frontend import extractor as _ex
+    feats = _ex.extract(img, n_features=n_features, n_levels=n_levels)
+    from mc_slam_tpu.camera import undistort_points as _undist
+    uv = _undist(cam, feats.xy)
+    pfm = prev_feat_mp if has_prev else None
+    pan = prev_angle if has_prev else None
+    res, vel, mp_found, mp_vis = track_frame_visual_step(
+        m, feats, uv, cam, ext, P_last, R_last, dP, dR, iters=iters,
+        rtol=rtol, prev_feat_mp=pfm, prev_angle=pan)
+    need_fb = res.n_inliers < min_inliers
+
+    def with_fallback(_):
+        r2 = track_frame_visual(m, feats, uv, cam, ext, P_last, R_last,
+                                radius_coarse=40.0, iters=iters)
+        take = r2.n_inliers > res.n_inliers
+        sel = lambda a, b: jnp.where(take, a, b)
+        r_o = TrackResult(P=sel(r2.P, res.P), R=sel(r2.R, res.R),
+                          feat_mp=sel(r2.feat_mp, res.feat_mp),
+                          n_matches=sel(r2.n_matches, res.n_matches),
+                          n_inliers=sel(r2.n_inliers, res.n_inliers))
+        RlT = jnp.swapaxes(R_last, -1, -2)
+        vel_o = ((RlT @ (r_o.P - P_last)[..., None])[..., 0], RlT @ r_o.R)
+        return r_o, vel_o, take
+
+    def no_fallback(_):
+        return res, vel, jnp.asarray(False)
+
+    res_f, vel_f, used_fb = jax.lax.cond(need_fb, with_fallback,
+                                         no_fallback, None)
+    vis = jnp.zeros(m.P, bool).at[
+        jnp.clip(res_f.feat_mp, 0, m.P - 1)].set(res_f.feat_mp >= 0,
+                                                 mode="drop")
+    fv = vis.astype(m.mp_found.dtype)
+    traj = _traj_row(m, res_f.P, res_f.R, anchor_slot)
+    summary = jnp.stack([res_f.n_inliers.astype(jnp.float32),
+                         used_fb.astype(jnp.float32),
+                         res_f.n_matches.astype(jnp.float32)])
+    return (feats, uv, res_f, vel_f, m.mp_found + fv, m.mp_visible + fv,
+            traj, summary)

@@ -41,7 +41,8 @@ class StageTimer:
             a = np.asarray(xs)
             out[name] = {"n": len(a), "median_ms": float(np.median(a) * 1e3),
                          "mean_ms": float(a.mean() * 1e3),
-                         "max_ms": float(a.max() * 1e3)}
+                         "max_ms": float(a.max() * 1e3),
+                         "total_s": float(a.sum())}
         return out
 
     def report(self):

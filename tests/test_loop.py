@@ -168,3 +168,91 @@ class TestTrainedVocabArtifact:
                 hits += 1
         recall = hits / 12.0
         assert recall >= 0.9, (recall, S.round(3))
+
+
+class TestEssentialGraphPersistence:
+    """Persistent loop edges: closure #2 must not re-open the seam healed by
+    closure #1 (LoopClosing.cpp:710-711 stores each closure on both KFs;
+    OptimizeEssentialGraph re-includes them, Optimizer.cpp:4413-4420)."""
+
+    def _make_map(self, K=16):
+        from mc_slam_tpu.slam_map.mapstate import empty_map
+        m = empty_map(max_kf=K, max_mp=64, n_feat=32)
+        # ground truth: a closed circle; KF K-1 lands next to KF 0
+        ang = np.linspace(0, 2 * np.pi * (K - 1) / K, K).astype(np.float32)
+        P_gt = np.stack([np.cos(ang), np.sin(ang), np.zeros(K)], 1)
+        R_gt = np.stack([np.asarray(lie.so3_exp(
+            jnp.asarray([0.0, 0.0, a], jnp.float32))) for a in ang])
+        return m, P_gt.astype(np.float32), R_gt.astype(np.float32)
+
+    def _drift(self, P, R, start, per_kf_yaw=0.03, per_kf_t=0.04):
+        """Accumulate yaw+translation drift onto KFs start.. (est = corrupted)."""
+        P, R = P.copy(), R.copy()
+        for k in range(start, len(P)):
+            a = per_kf_yaw * (k - start + 1)
+            d = per_kf_t * (k - start + 1)
+            Rg = np.asarray(lie.so3_exp(jnp.asarray([0, 0, a], jnp.float32)))
+            P[k] = Rg @ P[k] + np.array([d, 0, 0], np.float32)
+            R[k] = Rg @ R[k]
+        return P, R
+
+    def _rel(self, m, a, b):
+        """Relative SE3 (R_ab, t_ab) between keyframes a, b from MapState."""
+        P = np.asarray(m.kf_ns.P)
+        R = np.asarray(m.kf_ns.R)
+        return R[a].T @ R[b], R[a].T @ (P[b] - P[a])
+
+    def _measurement(self, P_gt, R_gt, loop, cur):
+        # vertices Scw at TRUE poses; edge S_cur * S_loop^{-1}
+        Rcw = np.swapaxes(R_gt, 1, 2)
+        tcw = -np.einsum('kij,kj->ki', Rcw, P_gt)
+        s = jnp.ones(len(P_gt), jnp.float32)
+        sm, Rm, tm = posegraph.edge_measurement(
+            s[loop], jnp.asarray(Rcw[loop]), jnp.asarray(tcw[loop]),
+            s[cur], jnp.asarray(Rcw[cur]), jnp.asarray(tcw[cur]))
+        from mc_slam_tpu.geometry.sim3solver import Sim3Result
+        return Sim3Result(ok=jnp.asarray(True), s=sm, R=Rm, t=tm,
+                          inliers=jnp.ones(1), n_inliers=jnp.asarray(50))
+
+    def _run(self, persist):
+        from mc_slam_tpu.camera import make_camera
+        from mc_slam_tpu.pipeline import loopclosing
+        K = 16
+        cam = make_camera(300.0, 300.0, 240.0, 180.0, width=480, height=360)
+        m, P_gt, R_gt = self._make_map(K)
+        P_est, R_est = self._drift(P_gt, R_gt, start=6)
+        ns = m.kf_ns._replace(P=jnp.asarray(P_est), R=jnp.asarray(R_est))
+        m = m._replace(kf_ns=ns, kf_active=jnp.ones(K, bool),
+                       kf_id=jnp.arange(K, dtype=jnp.int32))
+        slots = list(range(K))
+        # closure #1: KF 15 <-> KF 0 with the true relative measurement
+        mm = loopclosing.close_loop(m, slots, 15, 0,
+                                    self._measurement(P_gt, R_gt, 0, 15),
+                                    cam, fix_scale=True)
+        R_ab1, t_ab1 = self._rel(mm, 0, 15)
+        # truth for the pair
+        R_gt_ab = R_gt[0].T @ R_gt[15]
+        t_gt_ab = R_gt[0].T @ (P_gt[15] - P_gt[0])
+        assert np.linalg.norm(t_ab1 - t_gt_ab) < 0.15
+        # inject NEW drift on the middle stretch, then closure #2: 10 <-> 3
+        P2 = np.asarray(mm.kf_ns.P)
+        R2 = np.asarray(mm.kf_ns.R)
+        P2d, R2d = self._drift(P2, R2, start=8, per_kf_yaw=0.02, per_kf_t=0.03)
+        mm = mm._replace(kf_ns=mm.kf_ns._replace(P=jnp.asarray(P2d),
+                                                 R=jnp.asarray(R2d)))
+        m1 = self._measurement(P_gt, R_gt, 0, 15)
+        stored = [(0, 15, float(m1.s), np.asarray(m1.R), np.asarray(m1.t))]
+        mm = loopclosing.close_loop(
+            mm, slots, 10, 3, self._measurement(P_gt, R_gt, 3, 10), cam,
+            fix_scale=True, loop_edges=stored if persist else None)
+        R_ab2, t_ab2 = self._rel(mm, 0, 15)
+        return np.linalg.norm(t_ab2 - t_gt_ab), float(np.arccos(np.clip(
+            (np.trace(R_gt_ab.T @ R_ab2) - 1) / 2, -1, 1)))
+
+    def test_first_loop_survives_second(self):
+        err_p, err_r = self._run(persist=True)
+        err_p0, err_r0 = self._run(persist=False)
+        # with the persisted edge, the healed seam must stay closed...
+        assert err_p < 0.2 and err_r < 0.1
+        # ...and strictly tighter than the forgetful graph
+        assert err_p <= err_p0 + 1e-6
