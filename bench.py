@@ -200,13 +200,14 @@ def main():
     # disables; default 1200 frames (60 s of sequence).
     import os
     import subprocess
-    e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "1200"))
+    e2e_frames = int(os.environ.get("BENCH_E2E_FRAMES", "2400"))
+    e2e_fps = None
     if e2e_frames:
         outp = "/tmp/bench_e2e.json"
         cmd = [sys.executable,
                os.path.join(os.path.dirname(__file__), "examples",
                             "eval_clone.py"),
-               "--profile", "euroc", "--duration", "180",
+               "--profile", "euroc", "--duration", "120",
                "--max-frames", str(e2e_frames),
                "--platform", "", "--out", outp]
         try:
@@ -214,15 +215,31 @@ def main():
                            check=True)
             with open(outp) as f:
                 e2e = json.load(f)
+            e2e_fps = e2e["e2e_fps_amortized"]
             sub["e2e_fps_amortized"] = round(e2e["e2e_fps_amortized"], 2)
+            sub["e2e_fps_warm"] = round(e2e.get("e2e_fps_warm", -1.0), 2)
             sub["e2e_median_track_ms"] = round(e2e["median_track_ms"], 2)
             sub["e2e_stage_ms"] = e2e.get("stage_ms", {})
             sub["e2e_frames"] = e2e["frames"]
+            sub["e2e_n_lost"] = e2e.get("n_lost")
             print(f"# e2e on-device ({e2e['frames']} frames): "
-                  f"{e2e['e2e_fps_amortized']:.1f} fps amortized, "
+                  f"{e2e['e2e_fps_amortized']:.1f} fps amortized "
+                  f"({e2e.get('e2e_fps_warm', -1):.1f} warm), "
                   f"stages {e2e.get('stage_ms')}", file=sys.stderr)
         except Exception as err:
             print(f"# e2e bench skipped: {err}", file=sys.stderr)
+
+    # scaling-efficiency report (BASELINE.md north-star): distributed
+    # whole-map BA iters/s at 1 vs N virtual devices + analytic comm volume
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "examples", "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900, check=True)
+        sub["scaling"] = json.loads(r.stdout.strip().splitlines()[-1])
+        print(f"# scaling: {sub['scaling']}", file=sys.stderr)
+    except Exception as err:
+        print(f"# scaling bench skipped: {err}", file=sys.stderr)
 
     # end-to-end accuracy on the full-scale synthetic EuRoC clone: produced by
     # examples/eval_clone.py over examples/make_euroc_clone.py output (the
@@ -250,13 +267,29 @@ def main():
             print(f"# clone ATE (precomputed, see artifacts/): {ate}",
                   file=sys.stderr)
             break
-    print(json.dumps({
-        "metric": "frame_tracking_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s per chip (752x480, 1024 feat, 16k-pt map)",
-        "vs_baseline": round(fps / 20.0, 3),
-        "sub": sub,
-    }))
+    # HEADLINE: the amortized end-to-end pipeline rate (full SlamSystem on the
+    # euroc-profile clone: tracking + local mapping + loop closing + VI init,
+    # every keyframe-rate stall included). The reference's bar is its 20 fps
+    # real-time pacing on a desktop i7 (config/euroc.yaml:68, README.md:82).
+    # Falls back to the fused frame-tracking microbench only if the e2e run
+    # could not execute.
+    sub["frame_tracking_fps"] = round(fps, 2)
+    if e2e_fps is not None:
+        print(json.dumps({
+            "metric": "e2e_pipeline_fps",
+            "value": round(e2e_fps, 2),
+            "unit": "frames/s amortized, full pipeline on-chip (euroc clone)",
+            "vs_baseline": round(e2e_fps / 20.0, 3),
+            "sub": sub,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "frame_tracking_fps",
+            "value": round(fps, 2),
+            "unit": "frames/s per chip (752x480, 1024 feat, 16k-pt map)",
+            "vs_baseline": round(fps / 20.0, 3),
+            "sub": sub,
+        }))
 
 
 if __name__ == "__main__":

@@ -147,6 +147,43 @@ def main():
                            with_scale=True) if post.sum() > 10 else {})
     art_dir = os.path.join(os.path.dirname(__file__), "..", "artifacts")
     os.makedirs(art_dir, exist_ok=True)
+    # ---- per-segment drift diagnostics (identify the dominant error source
+    # instead of guessing): aligned error vs time + drift per metre travelled
+    # over 5 s windows, reported separately pre/post VI init ----
+    drift = {}
+    try:
+        from mc_slam_tpu.eval.ate import associate, horn_align
+        pairs = associate(t_est, t_gt, 0.02)
+        ie = np.asarray([p[0] for p in pairs])
+        ig = np.asarray([p[1] for p in pairs])
+        Pe, Pg, te = P_est[ie], P_gt[ig], t_est[ie]
+        s_al, R_al, t_al = horn_align(Pe, Pg, True)
+        Pa = (s_al * (R_al @ Pe.T)).T + t_al
+        err_t = np.linalg.norm(Pa - Pg, axis=1)
+        seg_len = 5.0
+        rows = []
+        t0_, tend = te[0], te[-1]
+        k0 = 0
+        while t0_ < tend:
+            selw = (te >= t0_) & (te < t0_ + seg_len)
+            if selw.sum() > 5:
+                dist = np.linalg.norm(np.diff(Pg[selw], axis=0),
+                                      axis=1).sum()
+                de = err_t[selw][-1] - err_t[selw][0]
+                rows.append({"t0": round(float(t0_ - te[0]), 1),
+                             "dist_m": round(float(dist), 2),
+                             "err_mean_m": round(float(err_t[selw].mean()), 4),
+                             "derr_per_m": round(float(de / max(dist, 1e-6)), 4)})
+            t0_ += seg_len
+            k0 += 1
+        drift = {"segments": rows,
+                 "err_t_final_m": round(float(err_t[-1]), 4),
+                 "worst_segment": max(rows, key=lambda r: r["err_mean_m"])
+                 if rows else {}}
+        np.savez(os.path.join(art_dir, f"drift_clone_{args.profile}.npz"),
+                 te=te, err_t=err_t)
+    except Exception as e:
+        print(f"drift diagnostics failed: {e}", file=sys.stderr)
     # anchor diagnostics: which keyframe each frame composed through, and
     # whether it fell back to its stale track-time pose (culled/recycled ref)
     kf_id_h = np.asarray(slam.m.kf_id)
@@ -219,6 +256,8 @@ def main():
         "commit": commit,
         "n_compiles": ncomp,
         "stage_ms": {k: round(v["median_ms"], 2) for k, v in stages.items()},
+        "drift": drift,
+        "events": [[int(f), k, d] for f, k, d in slam.events][-80:],
         "stage_detail": {k: {"n": v["n"],
                              "median_ms": round(v["median_ms"], 2),
                              "mean_ms": round(v["mean_ms"], 2),

@@ -27,6 +27,17 @@ TBC = np.array([
     [0.0, 0.0, 0.0, 1.0]])
 
 
+def o_list_step(occ, fdt, rng):
+    """Advance drifting occluders; bounce at the frame edges."""
+    for o in occ:
+        o["uv"] = o["uv"] + o["vel"] * fdt
+        for k in range(2):
+            if not (0.0 <= o["uv"][k] <= 0.95):
+                o["vel"][k] = -o["vel"][k]
+                o["uv"][k] = np.clip(o["uv"][k], 0.0, 0.95)
+    return occ
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/euroc_clone")
@@ -38,6 +49,14 @@ def main():
                     help="true gyro bias [rad/s]")
     ap.add_argument("--ba", type=float, nargs=3, default=[0.035, -0.02, 0.06],
                     help="true accel bias [m/s^2]")
+    # photometric hardening: the rendered texture alone under-stresses the
+    # front end vs real EuRoC footage — add the three dominant real-world
+    # nuisances (motion blur from the rolling exposure, auto-exposure /
+    # lighting flicker, and moving foreground occluders)
+    ap.add_argument("--no-harden", dest="harden", action="store_false",
+                    default=True)
+    ap.add_argument("--blur-ms", type=float, default=12.0,
+                    help="exposure window for motion blur [ms]")
     args = ap.parse_args()
 
     import jax
@@ -61,12 +80,34 @@ def main():
     fdt = 1.0 / args.fps
     t_off = 100.0  # EuRoC-style large absolute timestamps
     t0 = time.time()
+    # drifting foreground occluders (dark low-texture boxes)
+    occ = [{"uv": rng.uniform(0.1, 0.9, 2), "vel": rng.uniform(-0.15, 0.15, 2),
+            "wh": rng.uniform(0.06, 0.16, 2), "val": rng.uniform(15, 55)}
+           for _ in range(2)]
     for i in range(n_frames):
         t = i * fdt
         P_wb, R_wb = traj.pose(t)
         R_wc = R_wb @ Rbc
         C_w = P_wb + R_wb @ pbc
         img = world.render(cam, R_wc, C_w)
+        if args.harden:
+            # motion blur: average the exposure window's start and end views
+            P2, R2 = traj.pose(t + args.blur_ms * 1e-3)
+            img2 = world.render(cam, R2 @ Rbc, P2 + R2 @ pbc)
+            img = 0.5 * img.astype(np.float32) + 0.5 * img2.astype(np.float32)
+            # auto-exposure / lighting flicker
+            gain = (1.0 + 0.12 * np.sin(2 * np.pi * 0.9 * t + 0.7)
+                    + rng.normal(0.0, 0.02))
+            img = img * gain + rng.normal(0.0, 1.5, img.shape)
+            # moving occluders (~1-3% of pixels each)
+            H_, W_ = img.shape
+            for o in o_list_step(occ, fdt, rng):
+                u0 = int(o["uv"][0] * W_); v0 = int(o["uv"][1] * H_)
+                w_ = int(o["wh"][0] * W_); h_ = int(o["wh"][1] * H_)
+                img[max(v0, 0):v0 + h_, max(u0, 0):u0 + w_] = (
+                    o["val"] + rng.normal(0, 3.0, img[max(v0, 0):v0 + h_,
+                                                      max(u0, 0):u0 + w_].shape))
+            img = np.clip(img, 0, 255).astype(np.uint8)
         writer.add_image(t + t_off, img)
         writer.add_gt(t + t_off, P_wb, R_wb, traj.velocity(t), bg, ba)
         if i % 200 == 0:

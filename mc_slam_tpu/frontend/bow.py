@@ -50,29 +50,47 @@ def random_vocab(key, n_words=DEFAULT_WORDS):
     return (bits.astype(jnp.int8) * 2 - 1)
 
 
-def train_vocab(desc_pm1, valid, key, n_words=DEFAULT_WORDS, iters=4):
+def train_vocab(desc_pm1, valid, key, n_words=DEFAULT_WORDS, iters=4,
+                batch=4096):
     """k-majority clustering of +/-1 descriptors (binary k-means).
 
     desc_pm1: (N, 256) int8; valid: (N,). Empty clusters re-seed randomly.
+    Assignment runs in `batch`-row chunks under a lax.scan so vocabularies at
+    ORBvoc-like scale (32k+ words over 10^5-10^6 descriptors) fit HBM: the
+    dense (N, W) distance matrix of the naive form would be tens of GB.
     """
+    import numpy as np
     N = desc_pm1.shape[0]
     key, sub = jax.random.split(key)
     init_idx = jax.random.choice(sub, N, (n_words,), replace=True,
                                  p=valid / jnp.maximum(valid.sum(), 1.0))
     vocab = desc_pm1[init_idx]
-    d = desc_pm1.astype(jnp.int8)
+    Npad = int(np.ceil(N / batch)) * batch
+    d = jnp.zeros((Npad, 256), jnp.int8).at[:N].set(desc_pm1.astype(jnp.int8))
+    v = jnp.zeros((Npad,), jnp.float32).at[:N].set(valid.astype(jnp.float32))
+    d_r = d.reshape(-1, batch, 256)
+    v_r = v.reshape(-1, batch)
 
+    @jax.jit
     def step(vocab, key):
-        dot = jax.lax.dot_general(d, vocab, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        assign = jnp.argmax(dot, axis=1)                     # nearest centroid
-        one_hot = (assign[:, None] == jnp.arange(vocab.shape[0])[None]) & (valid[:, None] > 0)
-        sums = jax.lax.dot_general(one_hot.astype(jnp.float32), d.astype(jnp.float32),
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)  # (W, 256)
-        counts = jnp.sum(one_hot, axis=0)
+        def body(carry, chunk):
+            sums, counts = carry
+            d_c, v_c = chunk
+            dot = jax.lax.dot_general(d_c, vocab, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            assign = jnp.argmax(dot, axis=1)
+            sums = sums.at[assign].add(
+                d_c.astype(jnp.float32) * v_c[:, None])
+            counts = counts.at[assign].add(v_c)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((n_words, 256), jnp.float32),
+             jnp.zeros((n_words,), jnp.float32)),
+            (d_r, v_r))
         maj = jnp.where(sums >= 0, 1, -1).astype(jnp.int8)
-        rnd = random_vocab(key, vocab.shape[0])
+        rnd = random_vocab(key, n_words)
         return jnp.where((counts > 0)[:, None], maj, rnd)
 
     for _ in range(iters):

@@ -77,7 +77,8 @@ def save_system(path, sys):
     save_map(path, sys.m, extra)
     # BoW histograms saved alongside (dense rows for active slots only)
     np.savez_compressed(str(path) + ".bow.npz",
-                        hists=sys.loop.hists, vocab=np.asarray(sys.loop.vocab))
+                        hists=np.asarray(sys.loop.hists),
+                        vocab=np.asarray(sys.loop.vocab))
 
 
 def load_system(path, sys):
@@ -99,7 +100,7 @@ def load_system(path, sys):
                       for k, v in extra["kf_imu_raw"].items()}
     try:
         bow = np.load(str(path) + ".bow.npz")
-        sys.loop.hists = np.array(bow["hists"])
+        sys.loop.hists = jnp.asarray(bow["hists"])
         sys.loop.vocab = jnp.asarray(bow["vocab"])
     except FileNotFoundError:
         pass

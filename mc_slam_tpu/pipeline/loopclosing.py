@@ -26,21 +26,39 @@ from mc_slam_tpu.slam_map.mapstate import (MapState, covisibility_matrix,
 from mc_slam_tpu.solver import posegraph
 
 
+@jax.jit
+def _detect_device(m: MapState, hists, slot):
+    """Device half of loop detection: BoW scores of every KF against `slot`
+    plus the full covisibility matrix — ONE dispatch whose result the host can
+    harvest later (the old per-event blocking pull was a tunnel round trip)."""
+    q = hists[slot]
+    scores = hists @ q
+    W = covisibility_matrix(m)
+    return scores, W
+
+
 class LoopDetector:
-    """Host-side detector state: per-KF BoW histograms + consistency counter."""
+    """Detector state: per-KF BoW histograms (device-resident — a host pull
+    per keyframe blocked the event loop) + host consistency counters."""
 
     def __init__(self, vocab, max_kf, min_consistency=3):
         self.vocab = vocab
-        self.hists = np.zeros((max_kf, vocab.shape[0]), np.float32)
+        self.hists = jnp.zeros((max_kf, vocab.shape[0]), jnp.float32)
         self.min_consistency = min_consistency
         # [(covisibility group frozenset, consistency count)] carried between
         # keyframes (mvConsistentGroups, src/LoopClosing.cpp:174-269)
         self.consistent_groups: list[tuple[frozenset, int]] = []
 
     def add_keyframe(self, slot, desc_pm1, valid):
-        self.hists[slot] = np.asarray(bow.bow_histogram(desc_pm1, valid, self.vocab))
+        h = bow.bow_histogram(desc_pm1, valid, self.vocab)
+        self.hists = self.hists.at[slot].set(h)
 
-    def detect(self, m: MapState, slot, kf_slots, min_gap=10):
+    def detect_dispatch(self, m: MapState, slot):
+        """Dispatch the device half; returns handles to harvest later."""
+        return _detect_device(m, self.hists, jnp.asarray(slot, jnp.int32))
+
+    def detect(self, m: MapState, slot, kf_slots, kf_ids=None, min_gap=10,
+               handles=None):
         """Returns loop candidate slots, best score first (possibly empty).
 
         Mirrors DetectLoop (src/LoopClosing.cpp:143-269): candidates must score
@@ -48,24 +66,27 @@ class LoopDetector:
         candidate's covisibility GROUP carries an independent consistency
         counter across consecutive keyframes — a single best-candidate counter
         is fragile when place-recognition scores are flat, since unrelated
-        false candidates reset the streak of the true one."""
-        q = self.hists[slot]
-        # FULL covisibility matrix in one device pass: detection consumes a
-        # row per candidate, and per-row recomputation is a dispatch+pull each
-        W = np.asarray(covisibility_matrix(m))
+        false candidates reset the streak of the true one.
+
+        kf_ids: host {slot: creation frame id} (avoids a device pull);
+        handles: optional (scores, W) handles from detect_dispatch."""
+        if handles is None:
+            handles = self.detect_dispatch(m, slot)
+        scores, W = map(np.asarray, handles)
         covis = W[slot].copy()
         covis[slot] = 0
         # min score among covisible keyframes (reference minScore)
         cov_slots = [k for k in np.nonzero(covis >= 15)[0] if k != slot]
-        min_score = min((float(self.hists[k] @ q) for k in cov_slots), default=0.3)
-        scores = self.hists @ q
-        kf_ids = np.asarray(m.kf_id)
+        min_score = min((float(scores[k]) for k in cov_slots), default=0.3)
+        if kf_ids is None:
+            ids = np.asarray(m.kf_id)
+            kf_ids = {k: int(ids[k]) for k in kf_slots}
         # exclusion mirrors the reference's connected-set test
         # (GetConnectedKeyFrames, weight >= 15 per UpdateConnections): a
         # weight-1 accidental fuse association must not veto a true revisit
         cands = [k for k in kf_slots
                  if k != slot and covis[k] < 15
-                 and abs(int(kf_ids[slot]) - int(kf_ids[k])) >= min_gap
+                 and abs(kf_ids[slot] - kf_ids[k]) >= min_gap
                  and scores[k] >= max(min_score, 0.05)]
         if not cands:
             self.consistent_groups = []
@@ -207,17 +228,19 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     for k in np.nonzero(W[slot_cur] >= 50)[0]:
         if int(k) in idx_of:
             add_edge(idx_of[int(k)], idx_of[slot_cur])
-    # persisted loop edges from past closures, carrying their CLOSURE-TIME
-    # validated Sim3 measurement (recomputing from current estimates would
-    # bake any drift accumulated since the closure back into the constraint)
-    persisted_rows = []          # (edge_row, s_m, R_m, t_m) host values
+    # persisted loop edges from past closures. Their measurement is the
+    # CURRENT relative Sim3, like every other edge — the reference never
+    # stores measurements (OptimizeEssentialGraph recomputes Sji from current
+    # estimates for spanning/covisibility/loop edges alike,
+    # src/Optimizer.cpp:4413-4499): window BA and GBA keep refining the pair
+    # after a closure, and a frozen closure-time measurement at high weight
+    # would drag the neighborhood back to stale geometry at the NEXT closure
+    # (observed: a mid-run map warp + relocalization storm). The persistence
+    # is topological — the strong edge keeps later optimizations from
+    # re-distributing their corrections across an already-healed seam.
     for e in (loop_edges or []):
         a, b = e[0], e[1]
         if a in idx_of and b in idx_of and a != b:
-            if len(e) > 2:
-                persisted_rows.append((len(ei), e[2], e[3], e[4]))
-            # force-add (no dedup): a duplicate pair with the stored
-            # measurement simply adds its own least-squares rows
             ei.append(idx_of[a]); ej.append(idx_of[b]); ew.append(5.0)
     i_loop, i_cur = idx_of[slot_loop], idx_of[slot_cur]
     n_edges = len(ei)
@@ -232,14 +255,6 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     ej_a = jnp.asarray(ej, jnp.int32)
     sm, Rm, tm = posegraph.edge_measurement(
         s0[ei_a], R0[ei_a], t0[ei_a], s0[ej_a], R0[ej_a], t0[ej_a])
-    if persisted_rows:
-        rows = jnp.asarray([r for r, *_ in persisted_rows], jnp.int32)
-        sm = sm.at[rows].set(jnp.asarray([float(s) for _, s, _, _ in
-                                          persisted_rows], dtype))
-        Rm = Rm.at[rows].set(jnp.asarray(np.stack(
-            [np.asarray(R, np.float32) for _, _, R, _ in persisted_rows])))
-        tm = tm.at[rows].set(jnp.asarray(np.stack(
-            [np.asarray(t, np.float32) for _, _, _, t in persisted_rows])))
 
     # the loop edge (i=loop, j=cur) at position n_edges: measurement
     # S_{cur,loop} — exactly the RANSAC Sim3, which maps loop-KF camera

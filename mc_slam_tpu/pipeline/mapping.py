@@ -566,3 +566,23 @@ def kf_event_stats(m: MapState, slot, min_obs: int = 3):
             & (obs_n[jnp.clip(mp_ref, 0, P - 1)] >= min_obs))
     return (covis_row, red_ratio, n_pts, jnp.sum(m.mp_active),
             jnp.sum(well))
+
+
+@partial(jax.jit, static_argnames=("covis_th",))
+def kf_neighbors(m: MapState, slot, covis_th: int = 15):
+    """Top covisible neighbors of `slot` selected ON DEVICE (the old host-side
+    selection pulled a covisibility row per keyframe event — a full tunnel
+    round trip). Returns (nb4, nbv4, wslots8, wvalid8): the 4 triangulation /
+    fusion partners (padded with `slot`, validity in nbv4) and the 8-slot
+    refresh window. Mirrors GetCovisiblesByWeight + the max-weight fallback
+    of UpdateConnections (src/KeyFrame.cpp:668-696)."""
+    w = covisibility_weights(m, slot) * m.kf_active.astype(jnp.float32)
+    w = w.at[slot].set(0.0)
+    top_w, top_i = jax.lax.top_k(w, 8)
+    ok8 = top_w >= covis_th
+    ok8 = ok8.at[0].set(ok8[0] | (top_w[0] > 0))
+    nb4 = jnp.where(ok8[:4], top_i[:4], slot)
+    nbv4 = ok8[:4].astype(jnp.float32)
+    wslots = jnp.concatenate([slot[None].astype(jnp.int32), top_i[:7]])
+    wvalid = jnp.concatenate([jnp.ones(1, bool), ok8[:7]])
+    return nb4, nbv4, wslots, wvalid

@@ -128,8 +128,10 @@ class SlamSystem:
         # VI state
         self.vi_inited = False
         self.gw = jnp.asarray([0.0, 0.0, -self.cfg.g_mag])
-        self.imu_since_kf: list[np.ndarray] = []
-        self.imu_since_frame: list[np.ndarray] = []
+        # (frame_id, rows) blocks: deferred keyframe cuts take exactly the
+        # rows with frame_id <= the keyframe's frame (see _insert_kf_raw)
+        self.imu_since_kf: list[tuple[int, np.ndarray]] = []
+        self.imu_since_frame: list[tuple[int, np.ndarray]] = []
         self.first_kf_time = None
         self.prior: ba_vi.PriorFactor | None = None
         # post-relocalization bias re-estimation window (the reference's
@@ -149,10 +151,21 @@ class SlamSystem:
         # and GBA refinements to every past frame. Rows live on DEVICE
         # (TrajStore) — a per-frame host pull would be a tunnel round trip.
         self.traj = TrajStore()
-        # one-frame-deferred summary of the last dispatched fused frame step
-        # (see _harvest_pending); None when no frame is in flight
-        self._pending: dict | None = None
+        # in-flight fused frame steps, oldest first (see _harvest_pending).
+        # LAG=2: a frame's summary is consumed two frames after dispatch —
+        # by then its async device->host copy has landed, so the hot loop
+        # pays ~0 for it (a lag-1 pull still waited most of a tunnel round
+        # trip: dispatch->compute->copy takes longer than one frame period)
+        import collections
+        self._pendings: "collections.deque[dict]" = collections.deque()
+        self.LAG = 2
+        # deferred tail of the last keyframe event (stats + loop detection)
+        self._deferred_event: dict | None = None
+        self._map_epoch = 0
         self.n_lost_frames = 0
+        # diagnostic event log: (frame_id, kind, detail) — closures, losses,
+        # relocalizations, VI init (the reference's cout breadcrumbs)
+        self.events: list[tuple] = []
 
         # place recognition (loop closing + relocalization): the shipped
         # trained vocabulary when present (assets/vocab.npz), else random
@@ -226,13 +239,14 @@ class SlamSystem:
         (src/System.cpp:191-203): tracking never waits for its own scalars,
         and map updates happen between frames at keyframe rate."""
         cfg = self.cfg
-        # deferred decisions for the in-flight frame (may run KF event /
+        # deferred decisions for in-flight frames (may run KF events /
         # VI init / declare LOST) — BEFORE this frame's IMU is appended, so a
-        # keyframe cut at the previous frame gets exactly its own IMU span
+        # keyframe cut at a previous frame gets exactly its own IMU span
         self._harvest_pending()
         if imu is not None and len(imu):
-            self.imu_since_kf.append(np.asarray(imu, np.float32))
-            self.imu_since_frame.append(np.asarray(imu, np.float32))
+            rows = np.asarray(imu, np.float32)
+            self.imu_since_kf.append((self.frame_id, rows))
+            self.imu_since_frame.append((self.frame_id, rows))
         depth_mode = depth is not None or img_right is not None
         if self.state == OK and not depth_mode and self.reloc_buf is None:
             # fused async hot path
@@ -244,6 +258,9 @@ class SlamSystem:
             self.last_time = t
             self.frame_id += 1
             return True      # optimistic; a lost frame surfaces next call
+        # mode transition (init/reloc/depth): drain every in-flight frame
+        # before synchronous processing
+        self._harvest_pending(drain=True)
         return self._track_sync(img, t, depth, img_right)
 
     def _track_sync(self, img, t, depth=None, img_right=None):
@@ -351,8 +368,7 @@ class SlamSystem:
     def _dispatch_frame_vi(self, img, t):
         """Dispatch the fused VI frame program; no host sync."""
         cfg = self.cfg
-        rows = (np.concatenate(self.imu_since_frame, 0)
-                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        rows = self._imu_rows(self.imu_since_frame)
         rows = rows[-cfg.max_imu_per_kf:]
         rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
         rawp[:len(rows)] = rows
@@ -392,8 +408,11 @@ class SlamSystem:
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
         self.last_feats = feats
         self.traj.append(traj_row, t, k, kid)
-        self._pending = dict(mode="vi", summary=summary, feats=feats, uv=uv,
-                             t=t, frame_id=self.frame_id, backup=backup)
+        self._pendings.append(dict(
+            mode="vi", row=len(self.traj.meta) - 1, summary=summary, feats=feats, uv=uv,
+                             t=t, frame_id=self.frame_id, backup=backup,
+                             epoch=self._map_epoch, feat_mp=feat_mp,
+                             pose=(ns2.P, ns2.R), ns=ns2))
 
     def _dispatch_frame_visual(self, img, t):
         """Dispatch the fused visual frame program; no host sync."""
@@ -425,25 +444,42 @@ class SlamSystem:
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
         self.last_feats = feats
         self.traj.append(traj_row, t, k, kid)
-        self._pending = dict(mode="vis", summary=summary, feats=feats, uv=uv,
+        self._pendings.append(dict(
+            mode="vis", row=len(self.traj.meta) - 1, summary=summary, feats=feats, uv=uv,
                              t=t, frame_id=self.frame_id, backup=backup,
-                             pose_before=(P_last, R_last))
+                             epoch=self._map_epoch, feat_mp=res.feat_mp,
+                             pose=(res.P, res.R),
+                             pose_before=(P_last, R_last)))
 
     def _rollback_pending(self, p):
+        # drop this frame's trajectory row and every newer in-flight frame's
+        # (they were dispatched from the lost state)
+        self.traj.truncate(p["row"])
+        self.n_lost_frames += len(self._pendings)
+        self._pendings.clear()
+        if p.get("epoch") != self._map_epoch:
+            # a keyframe event / closure / VI init re-seated the tracking
+            # state after this frame was dispatched: the dispatch-time backup
+            # is stale — keep the newer (post-event) state and only drop the
+            # frame (relocalization re-seats the pose anyway)
+            return
         (self.last_ns, self.prior, self.last_pose, self.velocity,
          self._prev_match, mp_found, mp_vis, self._cur_feat_mp) = p["backup"]
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
-        self.traj.pop_last()
 
-    def _harvest_pending(self):
-        """Apply the deferred decisions for the last dispatched frame: LOST
+    def _harvest_pending(self, drain=False):
+        """Apply the deferred decisions for due in-flight frames: LOST
         transition, keyframe insertion (+ local mapping, loop closing), and
-        the VI-init attempt. Runs at the start of the NEXT track() call, when
-        the async summary copy has landed — so the hot loop never blocks."""
-        p = self._pending
-        if p is None:
-            return
-        self._pending = None
+        the VI-init attempt. A frame is due LAG frames after dispatch, when
+        its async summary copy has landed — the hot loop never blocks.
+        drain=True consumes everything (mode transitions, flush)."""
+        self._harvest_event(force=drain)
+        while self._pendings and (drain
+                                  or len(self._pendings) >= self.LAG):
+            self._harvest_one()
+
+    def _harvest_one(self):
+        p = self._pendings.popleft()
         cfg = self.cfg
         with self.timers.stage("harvest_pull"):
             s = np.asarray(p["summary"])
@@ -454,20 +490,31 @@ class SlamSystem:
                 self._prev_match = None
                 self.state = LOST
                 self.n_lost_frames += 1
+                self.events.append((p["frame_id"], "lost",
+                                    dict(mode="vi", n_in=n_in)))
                 return
         else:
             if n_in < cfg.min_track_inliers:
                 # motion-prior-free fallback against the reference keyframe
                 # (TrackReferenceKeyFrame, src/Tracking.cpp:1524) — host-side
-                # (PnP RANSAC); rare, so the round trips are acceptable
+                # (PnP RANSAC); rare, so the round trips are acceptable.
+                # With newer frames in flight, their dispatches rode this
+                # frame's (bad) pose: discard them too and re-track.
                 res2 = self._track_reference_kf(p["feats"], p["uv"])
                 if res2 is None:
                     self._rollback_pending(p)
                     self._prev_match = None
                     self.state = LOST
                     self.n_lost_frames += 1
+                    self.events.append((p["frame_id"], "lost",
+                                        dict(mode="vis", n_in=n_in)))
                     return
                 n_in = int(res2.n_inliers)
+                # newer in-flight frames rode the bad pose: drop them and
+                # re-seat tracking on the fallback solution
+                self.traj.truncate(p["row"] + 1)
+                self.n_lost_frames += len(self._pendings)
+                self._pendings.clear()
                 P_last, R_last = p["pose_before"]
                 RlT = jnp.swapaxes(R_last, -1, -2)
                 self.velocity = ((RlT @ (res2.P - P_last)[..., None])[..., 0],
@@ -485,17 +532,21 @@ class SlamSystem:
                 k, kid = self._anchor_slot()
                 row = self._traj_row_jit(self.m, res2.P, res2.R,
                                          jnp.asarray(max(k, 0), jnp.int32))
-                self.traj.replace_last(row)
+                self.traj.replace_at(p["row"], row)
         self._cur_inliers = n_in
         if (not self.localization_only
+                and p.get("epoch") == self._map_epoch
                 and self._need_new_kf(fid=p["frame_id"])):
             with self.timers.stage("local_mapping"):
                 with self.timers.stage("lm_insert"):
                     slot = self._create_keyframe(p["feats"], p["uv"], p["t"],
-                                                 fid=p["frame_id"])
+                                                 fid=p["frame_id"],
+                                                 pose=p.get("pose"),
+                                                 ns=p.get("ns"),
+                                                 feat_mp=p.get("feat_mp"))
                 self._local_mapping()
-            with self.timers.stage("loop_closing"):
-                self._try_close_loop(slot)
+            # loop detection was dispatched at the event's end; its result is
+            # harvested (and any closure applied) at the NEXT frame's harvest
             self._invalidate_frame_caches()
         if not self.vi_inited and cfg.use_imu:
             with self.timers.stage("vi_init"):
@@ -503,10 +554,45 @@ class SlamSystem:
                 if self.vi_inited:
                     self._invalidate_frame_caches()
 
+    def _harvest_event(self, force=False):
+        """Harvest the deferred tail of the last keyframe event: post-BA
+        redundancy stats (keyframe culling + the NeedNewKeyFrame reference
+        count) and loop detection results (+ any closure). READINESS-GATED:
+        consumed only once the async copies have landed (the event's device
+        programs take ~hundreds of ms and tracking keeps dispatching against
+        the in-flight map state meanwhile — the TPU-native analog of the
+        reference's LocalMapping/LoopClosing threads running behind Tracking,
+        src/System.cpp:196-203). force=True blocks (flush, next event)."""
+        ev = self._deferred_event
+        if ev is None:
+            return
+        if not force:
+            try:
+                leaves = jax.tree_util.tree_leaves((ev["stats"], ev["detect"]))
+                if not all(h.is_ready() for h in leaves):
+                    return
+            except Exception:
+                pass
+        self._deferred_event = None
+        slot = ev["slot"]
+        with self.timers.stage("lm_stats2"):
+            covis2, red2, npts2, _, well2 = jax.device_get(ev["stats"])
+        if slot in self.kf_slots:
+            self._covis_row_cache = (slot, covis2)
+            self._ref_tracked_cache = int(well2)
+            with self.timers.stage("lm_cullkf"):
+                self._cull_keyframes(red2, npts2)
+        if ev["detect"] is not None and slot in self.kf_slots:
+            with self.timers.stage("loop_closing"):
+                self._try_close_loop(slot, handles=ev["detect"])
+                if self.n_loops_closed and self._last_loop_nkf == self.n_kf:
+                    self._invalidate_frame_caches()
+
     def flush(self):
         """Complete any in-flight frame and flush device trajectory rows.
         Call before reading system state externally."""
-        self._harvest_pending()
+        self._harvest_pending(drain=True)
+        self._harvest_event(force=True)
         self.traj.flush()
 
     # ------------------------------------------------------------------
@@ -774,33 +860,36 @@ class SlamSystem:
         self.free_slots.append(s2)
 
     def _insert_kf_raw(self, P_pose, R_pose, feats, uv, t_kf, cam_frame=False,
-                       fid=None):
+                       fid=None, ns=None):
         """Write a keyframe into a free slot. Returns slot index."""
         fid = self.frame_id if fid is None else fid
+        src_ns = ns if ns is not None else self.last_ns
         if cam_frame:
             P_pose, R_pose = self._cam_to_body(P_pose, R_pose)
         slot = self._alloc_kf_slot()
         m = self.m
         ns = m.kf_ns
-        if self.cfg.use_imu and self.imu_since_kf:
-            raw = np.concatenate(self.imu_since_kf, 0)
+        take = [r for f, r in self.imu_since_kf if f <= fid]
+        if self.cfg.use_imu and take:
+            raw = np.concatenate(take, 0)
             self.kf_imu_raw[slot] = raw
             # device handles, no pull: bias of the state carried into this KF
-            bg = (self.last_ns.bg_full if self.vi_inited
+            bg = (src_ns.bg_full if self.vi_inited
                   else jnp.zeros(3, jnp.float32))
-            ba_ = (self.last_ns.ba_full if self.vi_inited
+            ba_ = (src_ns.ba_full if self.vi_inited
                    else jnp.zeros(3, jnp.float32))
             pre = self._preintegrate_raw(raw, bg, ba_)
             m = m._replace(kf_preint=jax.tree_util.tree_map(
                 lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
-            self.imu_since_kf = []
+            self.imu_since_kf = [(f, r) for f, r in self.imu_since_kf
+                                 if f > fid]
         # fold delta-bias into the base bias at KF creation
         # (Frame::SetInitialNavStateAndBias, src/Frame.cpp:111-118)
         ns = ns._replace(
             P=ns.P.at[slot].set(P_pose), R=ns.R.at[slot].set(R_pose),
-            V=ns.V.at[slot].set(self.last_ns.V),
-            bg=ns.bg.at[slot].set(self.last_ns.bg_full),
-            ba=ns.ba.at[slot].set(self.last_ns.ba_full),
+            V=ns.V.at[slot].set(src_ns.V),
+            bg=ns.bg.at[slot].set(src_ns.bg_full),
+            ba=ns.ba.at[slot].set(src_ns.ba_full),
             dbg=ns.dbg.at[slot].set(0.0), dba=ns.dba.at[slot].set(0.0))
         self.m = m._replace(
             kf_ns=ns,
@@ -886,6 +975,13 @@ class SlamSystem:
         self.state = OK
         return True
 
+    @staticmethod
+    def _imu_rows(buf):
+        """Concatenate (frame_id, rows) blocks into one (T,7) array."""
+        if not buf:
+            return np.zeros((0, 7), np.float32)
+        return np.concatenate([r for _, r in buf], 0)
+
     def _preintegrate_raw(self, raw, bg, ba):
         """Chunked preintegration of an arbitrary-length host IMU buffer:
         chains fixed-size scans through `init`, lifting the fixed-row
@@ -933,8 +1029,7 @@ class SlamSystem:
         """IMU-predicted tracking with the marginal prior
         (Tracking::TrackWithIMU + TrackLocalMapWithIMU)."""
         cfg = self.cfg
-        rows = (np.concatenate(self.imu_since_frame, 0)
-                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        rows = self._imu_rows(self.imu_since_frame)
         rows = rows[-cfg.max_imu_per_kf:]
         rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
         rawp[:len(rows)] = rows
@@ -1006,8 +1101,7 @@ class SlamSystem:
         """Visual tracking while the post-reloc bias window fills (the
         reference tracks without IMU while mbRelocBiasPrepare is set)."""
         cfg = self.cfg
-        rows = (np.concatenate(self.imu_since_frame, 0)
-                if self.imu_since_frame else np.zeros((0, 7), np.float32))
+        rows = self._imu_rows(self.imu_since_frame)
         self.imu_since_frame = []
         P_last, R_last = self.last_pose
         dP, dR = self.velocity
@@ -1116,6 +1210,7 @@ class SlamSystem:
         self._ref_tracked_cache = None
         self._anchor_cache = None
         self._covis_row_cache = None
+        self._map_epoch = getattr(self, "_map_epoch", 0) + 1
 
     def _need_new_kf(self, fid=None):
         cfg = self.cfg
@@ -1143,12 +1238,15 @@ class SlamSystem:
         return (self._cur_inliers < cfg.kf_ref_ratio * max(ref_tracked, 1)
                 and self._cur_inliers > 15)
 
-    def _create_keyframe(self, feats, uv, t, fid=None):
-        P, R = self.last_pose
-        slot = self._insert_kf_raw(P, R, feats, uv, t_kf=t, fid=fid)
-        # carry tracked associations into the KF
-        self.m = self.m._replace(
-            kf_mp=self.m.kf_mp.at[slot].set(self._cur_feat_mp))
+    def _create_keyframe(self, feats, uv, t, fid=None, pose=None, ns=None,
+                         feat_mp=None):
+        P, R = pose if pose is not None else self.last_pose
+        slot = self._insert_kf_raw(P, R, feats, uv, t_kf=t, fid=fid, ns=ns)
+        # carry THIS FRAME's tracked associations into the KF (with in-flight
+        # frames, self._cur_feat_mp belongs to the newest dispatch, whose
+        # feature table is a different frame's)
+        fm = feat_mp if feat_mp is not None else self._cur_feat_mp
+        self.m = self.m._replace(kf_mp=self.m.kf_mp.at[slot].set(fm))
         return slot
 
     # ------------------------------------------------------------------
@@ -1186,6 +1284,26 @@ class SlamSystem:
         mask[list(self.kf_slots)] = 1.0
         return mask
 
+    def _covisible_stale(self, slot, n, strong=False):
+        """Neighbor selection from the most recent covisibility row cache
+        regardless of which keyframe produced it (consecutive keyframes share
+        most of their covisibles): used where an exact fresh row would cost a
+        blocking device pull mid-event. The cached row's own keyframe keeps
+        its (inflated) self-weight and therefore ranks first — which is the
+        desired fixed observer / window member anyway."""
+        cache = getattr(self, "_covis_row_cache", None)
+        if cache is None:
+            return (self._covisible_strong(slot, n) if strong
+                    else self._covisible(slot, n))
+        w = cache[1].copy()
+        w[slot] = 0
+        w = w * self._active_mask()
+        order = np.argsort(-w)
+        out = [int(k) for k in order[:n] if w[k] >= self.cfg.covis_th]
+        if not strong and not out and w[order[0]] > 0:
+            out = [int(order[0])]
+        return out
+
     def _covisible_strong(self, slot, n):
         """Covisible neighbors that clear covis_th — no max-weight fallback.
         Used where a weakly-connected neighbor would do harm (e.g. as the only
@@ -1199,35 +1317,32 @@ class SlamSystem:
     def _local_mapping(self):
         cfg = self.cfg
         slot = self.last_kf_slot
+        # a previous event's deferred tail must be consumed before this event
+        # overwrites it (forced: blocks if its copies haven't landed yet)
+        self._harvest_event(force=True)
         # landmark maintenance: culling + capacity policies, occupancy
         # decisions in-graph (mapping.cull_and_evict) — zero host pulls
         with self.timers.stage("lm_cull"):
             self.m = mapping.cull_and_evict(self.m, jnp.asarray(self.frame_id),
                                             min_obs=cfg.cull_min_obs,
                                             n_evict=int(0.07 * self.m.P))
-        # ONE stats pull steers the whole event: covisibility row (neighbor
-        # selection for triangulation/fusion/BA observers) + redundancy +
-        # occupancy (each separate pull is a ~27 ms tunnel round trip)
-        with self.timers.stage("lm_stats1"):
-            covis_row, red0, npts0, _, _ = jax.device_get(
-                mapping.kf_event_stats(self.m, jnp.asarray(slot),
-                                       min_obs=(2 if len(self.kf_slots) <= 2
-                                                else 3)))
-        self._covis_row_cache = (slot, covis_row)
-        nbs = self._covisible(slot, 7)
+        # neighbor selection runs ON DEVICE (mapping.kf_neighbors): the whole
+        # event is pull-free — culling/ref-tracked stats and loop detection
+        # are dispatched at the end and harvested when their async copies
+        # land (readiness-gated, see _harvest_event)
+        with self.timers.stage("lm_nbrs"):
+            nb4, nbv4, wslots, wvalid = mapping.kf_neighbors(
+                self.m, jnp.asarray(slot, jnp.int32), covis_th=cfg.covis_th)
         # triangulate + fuse with top covisible neighbors: ONE scanned device
         # program each (padding pairs are no-ops), instead of 12 dispatches —
         # on a remote-attached chip every dispatch is a tunnel round trip and
         # this is the dominant share of the KF-event latency tax
-        nb4 = (nbs[:4] + [slot] * 4)[:4]
-        nbv = [1.0] * min(len(nbs), 4) + [0.0] * 4
         with self.timers.stage("lm_tri_fuse"):
             self.m, _ = mapping.create_points_with_neighbors(
-                self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32), self.cam,
+                self.m, jnp.asarray(slot), nb4, self.cam,
                 self.ext, n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
             self.m, _ = mapping.fuse_neighbors(
-                self.m, jnp.asarray(slot), jnp.asarray(nb4, jnp.int32),
-                jnp.asarray(nbv[:4], jnp.float32), self.cam, self.ext)
+                self.m, jnp.asarray(slot), nb4, nbv4, self.cam, self.ext)
         with self.timers.stage("lm_ba"):
             self._local_ba()
         # representative descriptors + normals/scale ranges of the points this
@@ -1241,32 +1356,36 @@ class SlamSystem:
         # creation-time bands after such a slide mass-reject perfectly
         # matchable points and tracking collapses within a few frames.
         if cfg.refresh_stats:
-            wslots = ([slot] + nbs + [slot] * 7)[:8]
-            wvalid = [True] * (1 + len(nbs)) + [False] * 7
             with self.timers.stage("lm_refresh"):
                 self.m = mapping.refresh_point_stats(
-                    self.m, jnp.asarray(wslots, jnp.int32),
-                    jnp.asarray(wvalid[:8]), self.ext,
+                    self.m, wslots, wvalid, self.ext,
                     n_levels=jnp.asarray(cfg.n_levels, jnp.int32))
-        # end-of-event stats pull (post-BA pruning/fusion): redundancy for
-        # keyframe culling + the well-observed count NeedNewKeyFrame compares
-        # against — one round trip for both
-        with self.timers.stage("lm_stats2"):
-            covis2, red2, npts2, _, well2 = jax.device_get(
-                mapping.kf_event_stats(self.m, jnp.asarray(slot),
-                                       min_obs=(2 if len(self.kf_slots) <= 2
-                                                else 3)))
-        self._covis_row_cache = (slot, covis2)
-        self._ref_tracked_cache = int(well2)
-        with self.timers.stage("lm_cullkf"):
-            self._cull_keyframes(red2, npts2)
+        # end-of-event stats (post-BA pruning/fusion): DISPATCH ONLY — the
+        # redundancy/ref-tracked decisions are harvested at the next frame's
+        # harvest, by which time the async copy has landed (the old blocking
+        # pull waited ~200 ms for the whole tri/fuse/BA chain to drain)
+        stats2 = mapping.kf_event_stats(self.m, jnp.asarray(slot),
+                                        min_obs=(2 if len(self.kf_slots) <= 2
+                                                 else 3))
+        detect_h = None
+        if self._loop_gates_open():
+            detect_h = self.loop.detect_dispatch(self.m, slot)
+        for h in jax.tree_util.tree_leaves((stats2, detect_h)):
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass
+        self._deferred_event = {"slot": slot, "stats": stats2,
+                                "detect": detect_h}
         # keep the tracking state synced to the (BA-updated) newest KF
         self.last_pose = self._kf_body_pose(slot)
         if self.vi_inited:
             self.last_ns = jax.tree_util.tree_map(
                 lambda a: a[slot], self.m.kf_ns)
             self.prior = None          # marginal prior is stale after map update
-            self.imu_since_frame = []  # current frame == this keyframe
+            # re-integrate from the keyframe over any rows newer than its
+            # cut (frames already in flight when the event ran)
+            self.imu_since_frame = list(self.imu_since_kf)
 
     def _ba_window_slots(self):
         """Window for local BA: covisible KFs (visual) or the KF chain (VI).
@@ -1286,7 +1405,13 @@ class SlamSystem:
                     w = w[i:]
                     break
             return w
-        window = [slot] + self._covisible(slot, cfg.ba_window - 1)
+        window = [slot] + self._covisible_stale(slot, cfg.ba_window - 1)
+        # the previous keyframe is always a window member (consecutive-KF
+        # covisibility; with a stale neighbor row it can be missing)
+        if len(self.kf_slots) >= 2:
+            prev = self.kf_slots[-2]
+            if prev not in window:
+                window = window[:cfg.ba_window - 1] + [prev]
         return window
 
     def _gather_obs(self, window, fixed):
@@ -1327,7 +1452,8 @@ class SlamSystem:
             # fixed observers: covisible KFs not in the window (strong edges
             # only — a weight-1 observer must not serve as the gauge anchor)
             fixed = [s for s in
-                     self._covisible_strong(self.last_kf_slot, cfg.ba_window + 6)
+                     self._covisible_stale(self.last_kf_slot,
+                                           cfg.ba_window + 6, strong=True)
                      if s not in window][:4]
             # VI: the window front's chain predecessor joins as a FIXED vertex
             # carrying its PRV+bias edge into the window (pKFPrevLocal,
@@ -1678,10 +1804,10 @@ class SlamSystem:
         act = list(self.kf_slots)
         if not act:
             return False
-        q = np.asarray(bow.bow_histogram(feats.desc_pm1,
-                                         feats.valid.astype(jnp.float32),
-                                         self.loop.vocab))
-        scores = self.loop.hists[act] @ q
+        q = bow.bow_histogram(feats.desc_pm1,
+                              feats.valid.astype(jnp.float32),
+                              self.loop.vocab)
+        scores = np.asarray(self.loop.hists @ q)[act]
         focal = float(self.cam.fx)
         xn = (np.asarray(uv) - [float(self.cam.cx), float(self.cam.cy)]) / \
             [float(self.cam.fx), float(self.cam.fy)]
@@ -1743,26 +1869,34 @@ class SlamSystem:
                     self.imu_since_kf = []
                     self._chain_break_pending = True
                 self.state = OK
+                self.events.append((self.frame_id, "reloc",
+                                    dict(kf=k, n_in=int(tr.n_inliers))))
                 return True
         return False
 
     # ------------------------------------------------------------------
     # Loop closing (LoopClosing::Run, gated on VI init in IMU mode :75)
     # ------------------------------------------------------------------
-    def _try_close_loop(self, slot):
+    def _loop_gates_open(self):
+        """Cheap host-side gates in front of loop detection (LoopClosing::Run
+        gating: VI-init done :75; cooldown mnLastLoopKFid+10 :137-141)."""
         if not self.enable_loop_closing:
-            return
+            return False
         if self.cfg.use_imu and not self.vi_inited:
+            return False
+        if len(self.kf_slots) < 8:
+            return False
+        return self.n_kf - getattr(self, "_last_loop_nkf", -100) >= 10
+
+    def _try_close_loop(self, slot, handles=None):
+        if not self._loop_gates_open():
             return
         act = list(self.kf_slots)
-        if len(act) < 8:
-            return
-        # cooldown after a closure (reference: mnLastLoopKFid + 10,
-        # src/LoopClosing.cpp:137-141)
-        if self.n_kf - getattr(self, "_last_loop_nkf", -100) < 10:
+        if slot not in act:
             return
         with self.timers.stage("lc_detect"):
-            cands = self.loop.detect(self.m, slot, act)
+            cands = self.loop.detect(self.m, slot, act,
+                                     kf_ids=self.kf_id_host, handles=handles)
         # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
         # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330).
         # At most 2 streaked + 1 fallback candidate per event (each RANSAC +
@@ -1790,8 +1924,11 @@ class SlamSystem:
         self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
                                         fix_scale=self.vi_inited,
                                         loop_edges=self.loop_edges)
-        self.loop_edges.append((cand, slot, float(res.s),
-                                np.asarray(res.R), np.asarray(res.t)))
+        self.loop_edges.append((cand, slot))
+        self.events.append((self.frame_id, "loop",
+                            dict(cur=slot, cand=cand,
+                                 n_inliers=int(res.n_inliers),
+                                 s=round(float(res.s), 4))))
         self.n_loops_closed += 1
         self._last_loop_nkf = self.n_kf
         # cross-seam fusion (CorrectLoop dedup + SearchAndFuse,
@@ -1919,6 +2056,8 @@ class SlamSystem:
         self.traj.rescale(s)
         self.gw = res.gw
         self.vi_inited = True
+        self.events.append((self.frame_id, "vi_init",
+                            dict(scale=round(s, 4), n_kf=len(act))))
         self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], ns)
         self.last_pose = (self.last_ns.P, self.last_ns.R)
         # the next VI-tracked frame integrates from the newest keyframe
@@ -1945,7 +2084,7 @@ class SlamSystem:
         (GlobalBundleAdjustment(NavStatePRV), src/Optimizer.cpp:629/3346 — the
         reference runs it after loop closures; offline drivers may also call
         it once at sequence end before saving the trajectory)."""
-        self._harvest_pending()
+        self._harvest_pending(drain=True)
         self._local_ba(force_all=True, prune=False)
         self._invalidate_frame_caches()
 

@@ -93,14 +93,33 @@ class TrajStore:
             self.pend.pop()
             self.meta.pop()
 
+    def truncate(self, n_keep: int):
+        """Drop every row at index >= n_keep (a LOST frame invalidates all
+        rows dispatched after it). Device-buffer rows are overwritten
+        positionally by subsequent appends."""
+        drop = len(self.meta) - n_keep
+        if drop <= 0:
+            return
+        for _ in range(min(drop, len(self.pend))):
+            self.pend.pop()
+        del self.meta[n_keep:]
+
+    def replace_at(self, i: int, row):
+        """Replace row i (a host-side fallback re-solved that frame)."""
+        total = len(self.meta)
+        pend_start = total - len(self.pend)
+        if i >= pend_start:
+            self.pend[i - pend_start] = row
+        else:
+            # device row index = meta index - number of archived rows
+            n_arch = len(self.meta) - self._n_dev
+            di = jnp.asarray(i - n_arch, jnp.int32)
+            self.Prel, self.Rrel, self.Pabs, self.Rabs = _write_one(
+                self.Prel, self.Rrel, self.Pabs, self.Rabs, di, row)
+
     def replace_last(self, row):
         """Replace the most recent row (host-side fallback re-solved it)."""
-        if self.pend:
-            self.pend[-1] = row
-        else:       # the row was just flushed into the device buffer
-            i = jnp.asarray(self._n_dev - 1, jnp.int32)
-            self.Prel, self.Rrel, self.Pabs, self.Rabs = _write_one(
-                self.Prel, self.Rrel, self.Pabs, self.Rabs, i, row)
+        self.replace_at(len(self.meta) - 1, row)
 
     def _flush_pend(self):
         n = len(self.pend)

@@ -185,10 +185,11 @@ class TestEssentialGraphPersistence:
             jnp.asarray([0.0, 0.0, a], jnp.float32))) for a in ang])
         return m, P_gt.astype(np.float32), R_gt.astype(np.float32)
 
-    def _drift(self, P, R, start, per_kf_yaw=0.03, per_kf_t=0.04):
-        """Accumulate yaw+translation drift onto KFs start.. (est = corrupted)."""
+    def _drift(self, P, R, start, stop=None, per_kf_yaw=0.03, per_kf_t=0.04):
+        """Accumulate yaw+translation drift onto KFs start..stop."""
         P, R = P.copy(), R.copy()
-        for k in range(start, len(P)):
+        stop = len(P) if stop is None else stop
+        for k in range(start, stop):
             a = per_kf_yaw * (k - start + 1)
             d = per_kf_t * (k - start + 1)
             Rg = np.asarray(lie.so3_exp(jnp.asarray([0, 0, a], jnp.float32)))
@@ -234,17 +235,22 @@ class TestEssentialGraphPersistence:
         R_gt_ab = R_gt[0].T @ R_gt[15]
         t_gt_ab = R_gt[0].T @ (P_gt[15] - P_gt[0])
         assert np.linalg.norm(t_ab1 - t_gt_ab) < 0.15
-        # inject NEW drift on the middle stretch, then closure #2: 10 <-> 3
+        # inject NEW drift on the middle stretch ONLY (the healed 0<->15 seam
+        # keeps its relative pose, as it would under BA: the fused cross-seam
+        # points hold it), then closure #2: 10 <-> 3. Without the persisted
+        # edge, closure #2's correction distributes along the whole chain —
+        # including across the seam — and re-opens it.
         P2 = np.asarray(mm.kf_ns.P)
         R2 = np.asarray(mm.kf_ns.R)
-        P2d, R2d = self._drift(P2, R2, start=8, per_kf_yaw=0.02, per_kf_t=0.03)
+        P2d, R2d = self._drift(P2, R2, start=6, stop=13,
+                               per_kf_yaw=0.02, per_kf_t=0.03)
         mm = mm._replace(kf_ns=mm.kf_ns._replace(P=jnp.asarray(P2d),
                                                  R=jnp.asarray(R2d)))
-        m1 = self._measurement(P_gt, R_gt, 0, 15)
-        stored = [(0, 15, float(m1.s), np.asarray(m1.R), np.asarray(m1.t))]
+        R_ab_pre, t_ab_pre = self._rel(mm, 0, 15)
+        assert np.linalg.norm(t_ab_pre - t_ab1) < 1e-5   # seam untouched
         mm = loopclosing.close_loop(
             mm, slots, 10, 3, self._measurement(P_gt, R_gt, 3, 10), cam,
-            fix_scale=True, loop_edges=stored if persist else None)
+            fix_scale=True, loop_edges=[(0, 15)] if persist else None)
         R_ab2, t_ab2 = self._rel(mm, 0, 15)
         return np.linalg.norm(t_ab2 - t_gt_ab), float(np.arccos(np.clip(
             (np.trace(R_gt_ab.T @ R_ab2) - 1) / 2, -1, 1)))
