@@ -49,6 +49,8 @@ def main():
                     help="min amortized e2e fps (ignored on cpu platform)")
     ap.add_argument("--gate-lost", type=int, default=60,
                     help="max lost frames")
+    ap.add_argument("--no-loops", action="store_true",
+                    help="disable loop closing (drift diagnosis)")
     args = ap.parse_args()
 
     mav0 = os.path.join(args.dataset, "mav0")
@@ -91,6 +93,8 @@ def main():
                          local_window=8, use_imu=True, vi_init_time=15.0,
                          g_mag=9.810)
     slam = SlamSystem(cam, cfg, Tbc=TBC)
+    if args.no_loops:
+        slam.enable_loop_closing = False
 
     gt = np.loadtxt(os.path.join(mav0, "state_groundtruth_estimate0", "data.csv"),
                     delimiter=",", comments="#")

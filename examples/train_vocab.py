@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mav0", default="", help="optional ASL folder to harvest from")
-    ap.add_argument("--words", type=int, default=4096)
+    ap.add_argument("--words", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--n-feat", type=int, default=1024)

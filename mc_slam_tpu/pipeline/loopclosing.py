@@ -253,6 +253,8 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
 
     ei_a = jnp.asarray(ei, jnp.int32)
     ej_a = jnp.asarray(ej, jnp.int32)
+    # edge measurements from the UNCORRECTED estimates (the reference's
+    # NonCorrectedSim3, src/LoopClosing.cpp:559-639 + Optimizer.cpp:4413)
     sm, Rm, tm = posegraph.edge_measurement(
         s0[ei_a], R0[ei_a], t0[ei_a], s0[ej_a], R0[ej_a], t0[ej_a])
 
@@ -267,12 +269,38 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     tm = tm.at[li].set(sim3_lc.t)
     w = jnp.asarray(w_np, dtype)
 
+    # PRE-PROPAGATE the loop correction to the current KF's covisible group
+    # (CorrectLoop, src/LoopClosing.cpp:553-639): corrected Scw(cur) =
+    # S_lc * Scw(loop); each neighbor nb gets S_nb_cur * Scw_corr(cur). The
+    # pose graph then starts NEAR its optimum — started from the uncorrected
+    # estimates, a stiff essential graph (chain + all strong covisibility
+    # pairs) under-converges in its iteration budget and leaves the map
+    # half-corrected (observed: tracking collapse right after closure #3).
+    s_cur_c, R_cur_c, t_cur_c = lie.sim3_mul(
+        sim3_lc.s, sim3_lc.R, sim3_lc.t, s0[i_loop], R0[i_loop], t0[i_loop])
+    if fix_scale:
+        s_cur_c = jnp.ones_like(s_cur_c)
+    nb_mask = np.zeros(Kp, bool)
+    nb_mask[i_cur] = True
+    for k in np.nonzero(W[slot_cur] >= 15)[0]:
+        if int(k) in idx_of:
+            nb_mask[idx_of[int(k)]] = True
+    # relative pose of each neighbor w.r.t. the current KF (uncorrected)
+    si_c, Ri_c, ti_c = lie.sim3_inv(s0[i_cur], R0[i_cur], t0[i_cur])
+    s_rel, R_rel, t_rel = lie.sim3_mul(s0, R0, t0, si_c, Ri_c, ti_c)
+    s_corr, R_corr, t_corr = lie.sim3_mul(s_rel, R_rel, t_rel,
+                                          s_cur_c, R_cur_c, t_cur_c)
+    nbm = jnp.asarray(nb_mask)
+    s0i = jnp.where(nbm, s_corr, s0)
+    R0i = jnp.where(nbm[:, None, None], R_corr, R0)
+    t0i = jnp.where(nbm[:, None], t_corr, t0)
+
     free = (jnp.asarray(np.arange(Kp) < K, np.float32)
             .astype(dtype).at[i_loop].set(0.0))          # fix the loop KF + pads
-    g = posegraph.Sim3Graph(s=s0, R=R0, t=t0, ei=ei_a, ej=ej_a,
+    g = posegraph.Sim3Graph(s=s0i, R=R0i, t=t0i, ei=ei_a, ej=ej_a,
                             s_m=sm, R_m=Rm, t_m=tm, w=w, free=free)
     R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(
-        g, iters=20, fix_scale=fix_scale)
+        g, iters=40, fix_scale=fix_scale)
     # pad rows scatter to the same slot as the last real row; make them carry
     # its optimized values (shape-stable clamp gather)
     row = jnp.minimum(jnp.arange(Kp), jnp.asarray(K - 1))

