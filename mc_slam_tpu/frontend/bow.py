@@ -38,7 +38,12 @@ def load_default_vocab(key=None):
     if os.path.exists(_ASSET):
         z = np.load(_ASSET)
         bits = np.unpackbits(z["bits"], axis=1)[:, :256]
-        return jnp.asarray(bits.astype(np.int8) * 2 - 1)
+        v = jnp.asarray(bits.astype(np.int8) * 2 - 1)
+        # complete the (multi-MB) upload before anything else talks to the
+        # device: a D2H issued while this H2D streams can deadlock the
+        # remote-attachment transport (see frontend/orb.py note)
+        jax.block_until_ready(v)
+        return v
     if key is None:
         key = jax.random.PRNGKey(0)
     return random_vocab(key)

@@ -12,11 +12,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_BINS = 30
-BIG = jnp.int32(10_000)
+BIG = np.int32(10_000)   # host constant: device-array jit constants deadlock the remote tunnel (see frontend/orb.py)
 
 
 def hamming_matrix(pm1_a, pm1_b):

@@ -62,12 +62,18 @@ def _selection_tables():
 
 
 _S1_np, _S2_np = _selection_tables()
-S1 = jnp.asarray(_S1_np)                      # (NBINS*256, 961)
-S2 = jnp.asarray(_S2_np)
+# NOTE: these tables stay HOST (numpy) arrays on purpose. As device arrays
+# they are embedded into every jit that closes over them by PULLING their
+# value during lowering — and on the remote-attached TPU a D2H issued while
+# large H2D transfers are in flight deadlocks the transport (observed: the
+# whole client wedges at the first extract lowering after the 32k-word
+# vocabulary upload). numpy constants embed host-side with no transfer.
+S1 = _S1_np                                   # (NBINS*256, 961)
+S2 = _S2_np
 # difference table: bit s in bin b is sign(I[S2 row] - I[S1 row]); entries in
 # {-1, 0, +1} (0 when a pair rotates onto the same pixel -> bit fixed to 0,
 # same semantics as comparing identical samples)
-D_TABLE = jnp.asarray(_S2_np - _S1_np)        # (NBINS*256, 961)
+D_TABLE = _S2_np - _S1_np                     # (NBINS*256, 961)
 
 # circular-patch mask + moment weights for IC angle (u_max table equivalent)
 _d = np.arange(-PATCH_R, PATCH_R + 1)
@@ -76,7 +82,7 @@ _MW = np.stack([
     (_mask * _d[None, :]).reshape(-1),        # m10 weights (x)
     (_mask * _d[:, None]).reshape(-1),        # m01 weights (y)
 ], axis=1).astype(np.float32)
-MOMENT_W = jnp.asarray(_MW)                   # (961, 2)
+MOMENT_W = _MW                                # (961, 2) — host, see above
 
 
 def extract_patches(img, xy, r=PATCH_R):

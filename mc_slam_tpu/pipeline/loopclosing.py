@@ -44,6 +44,7 @@ class LoopDetector:
     def __init__(self, vocab, max_kf, min_consistency=3):
         self.vocab = vocab
         self.hists = jnp.zeros((max_kf, vocab.shape[0]), jnp.float32)
+        jax.block_until_ready(self.hists)   # see bow.load_default_vocab
         self.min_consistency = min_consistency
         # [(covisibility group frozenset, consistency count)] carried between
         # keyframes (mvConsistentGroups, src/LoopClosing.cpp:174-269)
@@ -336,3 +337,47 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
                                        s_new, R_new, t_new)
     mp2 = jnp.where(m.mp_active[:, None], mp2, m.mp_pos)
     return m._replace(kf_ns=ns, mp_pos=mp2)
+
+
+@jax.jit
+def guided_match_count(m: MapState, slot_cur, slot_loop, group_slots,
+                       s_lc, R_lc, t_lc, cam):
+    """The reference's guided-reprojection verification (ComputeSim3,
+    src/LoopClosing.cpp:459-498): project every map point observed by the
+    loop KF's covisibility GROUP through the candidate Sim3 into the current
+    keyframe and count matches. A pairwise Sim3 between two visually aliased
+    places (repeating texture) can reach high RANSAC consensus — but the
+    group's surrounding geometry will not re-project consistently; the
+    reference demands >= 40 group-wide matches before accepting, and this
+    gate is what kept it from false closures that a two-view check passes.
+
+    group_slots: (G,) loop-side keyframe slots (the candidate + covisibles).
+    Returns the match count."""
+    mp = m.kf_mp[group_slots]                                  # (G, F)
+    valid = (mp >= 0) & m.kf_feat_valid[group_slots] \
+        & m.kf_active[group_slots][:, None]
+    sel = jnp.zeros(m.P, bool).at[
+        jnp.clip(mp, 0, m.P - 1).reshape(-1)].max(
+            valid.reshape(-1), mode="drop")
+    sel = sel & m.mp_active
+    # world -> loop cam -> (Sim3) -> current cam (body==camera convention of
+    # compute_sim3_for_loop)
+    Rl = m.kf_ns.R[slot_loop]
+    Pl = m.kf_ns.P[slot_loop]
+    Xl = (jnp.swapaxes(Rl, -1, -2) @ (m.mp_pos - Pl)[..., None])[..., 0]
+    Xc = s_lc * (R_lc @ Xl[..., None])[..., 0] + t_lc
+    z = Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * Xc[..., 0] / zs + cam.cx
+    v = cam.fy * Xc[..., 1] / zs + cam.cy
+    vis = sel & (z > 0.1) & (u >= 0) & (u < cam.width) \
+        & (v >= 0) & (v < cam.height)
+    dist = jnp.linalg.norm(Xc, axis=-1)
+    lvl = jnp.clip(jnp.round(jnp.log(jnp.maximum(m.mp_max_dist, 1e-6)
+                                     / jnp.maximum(dist, 1e-6))
+                             / jnp.log(1.2)), 0, 7).astype(jnp.int32)
+    idx, d, ok = matching.search_by_projection(
+        jnp.stack([u, v], -1), vis, lvl, m.mp_pm1,
+        m.kf_uv[slot_cur], m.kf_level[slot_cur], m.kf_pm1[slot_cur],
+        m.kf_feat_valid[slot_cur], radius_px=8.0)
+    return jnp.sum(ok)
