@@ -1936,13 +1936,31 @@ class SlamSystem:
                 break
         if cand < 0:
             return
+        # implied correction BEFORE the map is touched: how far the measured
+        # Sim3 moves the current KF vs its estimate (the drift this closure
+        # heals). On a low-drift map a LARGE value = the closure is wrong.
+        Pl_np = np.asarray(self.m.kf_ns.P[cand])
+        Rl_np = np.asarray(self.m.kf_ns.R[cand])
+        Pc_np = np.asarray(self.m.kf_ns.P[slot])
+        Rm = np.asarray(res.R); tm = np.asarray(res.t); sm = float(res.s)
+        # Scw convention of close_loop: vertex = (R^T, -R^T P); the loop edge
+        # demands Scw_cur = S_lc o Scw_loop -> implied current position
+        Rcw_l = Rl_np.T
+        tcw_l = -Rcw_l @ Pl_np
+        R_cur_impl = Rm @ Rcw_l
+        t_cur_impl = sm * (Rm @ tcw_l) + tm
+        P_cur_impl = -(R_cur_impl.T @ t_cur_impl) / max(sm, 1e-9)
+        corr_m = float(np.linalg.norm(P_cur_impl - Pc_np))
         self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
                                         fix_scale=self.vi_inited,
                                         loop_edges=self.loop_edges)
         self.loop_edges.append((cand, slot))
         self.events.append((self.frame_id, "loop",
                             dict(cur=slot, cand=cand,
+                                 cur_fid=self.kf_id_host.get(slot, -1),
+                                 cand_fid=self.kf_id_host.get(cand, -1),
                                  n_inliers=int(res.n_inliers),
+                                 corr_m=round(corr_m, 3),
                                  s=round(float(res.s), 4))))
         self.n_loops_closed += 1
         self._last_loop_nkf = self.n_kf

@@ -65,7 +65,13 @@ class RoomWorld:
     """Axis-aligned textured box [xmin,xmax]x[ymin,ymax]x[zmin,zmax]."""
 
     def __init__(self, rng, bounds=((-10.0, 10.0), (-6.0, 6.0), (0.0, 6.0)),
-                 tex_size=1024, tex_scale=0.55):
+                 tex_size=1024, tex_scale=0.55, n_speckle=None):
+        # tex_scale < 1 tiles the texture (dense detail, but the world
+        # becomes PERIODIC: identical wall patches metres apart alias under
+        # place recognition and even geometric loop verification — a repeated
+        # planar texture produces a consistent false SE3. tex_scale=1.0 maps
+        # each wall's texture exactly once (use a larger tex_size +
+        # proportional speckle count to keep feature density).
         (x0, x1), (y0, y1), (z0, z1) = bounds
         self.bounds = bounds
         # plane: (origin, U axis, V axis, normal, texture, metres-per-texture)
@@ -80,8 +86,12 @@ class RoomWorld:
             (np.array([x0, y0, z0]), np.array([x1 - x0, 0, 0]), np.array([0, y1 - y0, 0]), np.array([0, 0, 1.0])),
             (np.array([x0, y0, z1]), np.array([x1 - x0, 0, 0]), np.array([0, y1 - y0, 0]), np.array([0, 0, -1.0])),
         ]
+        if n_speckle is None:
+            n_speckle = int(4000 * (tex_size / 1024) ** 2)
+        n_posters = max(24, int(24 * (tex_size / 1024) ** 2))
         for O, U, V, n in specs:
-            tex = make_texture(rng, tex_size)
+            tex = make_texture(rng, tex_size, n_speckle=n_speckle,
+                               n_posters=n_posters)
             # texture repeats every `tex_scale * span` metres: dense detail
             self.planes.append((O.astype(np.float64), U.astype(np.float64),
                                 V.astype(np.float64), n.astype(np.float64), tex))
