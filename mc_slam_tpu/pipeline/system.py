@@ -158,7 +158,18 @@ class SlamSystem:
         # trip: dispatch->compute->copy takes longer than one frame period)
         import collections
         self._pendings: "collections.deque[dict]" = collections.deque()
-        self.LAG = 2
+        # Pipeline depth is ADAPTIVE between LAG_MIN and LAG_MAX: a frame is
+        # harvested once its summary copy has actually landed (is_ready), so
+        # the depth self-tunes to the device's real dispatch->result latency.
+        # Through a remote-attached chip that latency is ~RTT + compute
+        # (~30 ms) while host dispatch is ~1 ms — a fixed depth of 2 blocked
+        # ~25 ms per frame waiting for the copy. LAG_MAX bounds decision
+        # staleness (keyframe insertion / LOST detection at most LAG_MAX
+        # frames late); LAG_MIN keeps the old floor so decision latency stays
+        # minimal when the device is the bottleneck.
+        self.LAG_MIN = 2
+        import os as _os
+        self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "8"))
         # deferred tail of the last keyframe event (stats + loop detection)
         self._deferred_event: dict | None = None
         self._map_epoch = 0
@@ -467,15 +478,26 @@ class SlamSystem:
          self._prev_match, mp_found, mp_vis, self._cur_feat_mp) = p["backup"]
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
 
+    def _summary_ready(self, p):
+        try:
+            return bool(p["summary"].is_ready())
+        except Exception:
+            # backend without is_ready: fall back to the fixed-depth rule
+            return True
+
     def _harvest_pending(self, drain=False):
         """Apply the deferred decisions for due in-flight frames: LOST
         transition, keyframe insertion (+ local mapping, loop closing), and
-        the VI-init attempt. A frame is due LAG frames after dispatch, when
-        its async summary copy has landed — the hot loop never blocks.
-        drain=True consumes everything (mode transitions, flush)."""
+        the VI-init attempt. A frame is due once its async summary copy has
+        landed (and at least LAG_MIN newer frames are in flight), or
+        unconditionally at depth LAG_MAX — the hot loop blocks only when the
+        pipeline is genuinely full. drain=True consumes everything (mode
+        transitions, flush)."""
         self._harvest_event(force=drain)
-        while self._pendings and (drain
-                                  or len(self._pendings) >= self.LAG):
+        while self._pendings and (
+                drain or len(self._pendings) >= self.LAG_MAX
+                or (len(self._pendings) >= self.LAG_MIN
+                    and self._summary_ready(self._pendings[0]))):
             self._harvest_one()
 
     def _harvest_one(self):
@@ -567,12 +589,17 @@ class SlamSystem:
         if ev is None:
             return
         if not force:
+            ev["age"] = ev.get("age", 0) + 1
             try:
                 leaves = jax.tree_util.tree_leaves((ev["stats"], ev["detect"]))
                 if not all(h.is_ready() for h in leaves):
                     return
             except Exception:
-                pass
+                # backend without is_ready: age-gate instead (consume a few
+                # frames after dispatch, when the copies have likely landed,
+                # rather than blocking the frame loop on the whole event chain)
+                if ev["age"] < 4:
+                    return
         self._deferred_event = None
         slot = ev["slot"]
         with self.timers.stage("lm_stats2"):
