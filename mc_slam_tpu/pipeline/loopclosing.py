@@ -12,6 +12,7 @@ host-side and mutates the SlamSystem's MapState exactly once per accepted loop
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -74,6 +75,11 @@ class LoopDetector:
         if handles is None:
             handles = self.detect_dispatch(m, slot)
         scores, W = map(np.asarray, handles)
+        # the covisibility matrix rides along with detection: candidate
+        # GROUP construction (consistency streaks here, the guided-
+        # verification groups in the caller) must not cost per-candidate
+        # device pulls
+        self.last_W = W
         covis = W[slot].copy()
         covis[slot] = 0
         # min score among covisible keyframes (reference minScore)
@@ -339,9 +345,8 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     return m._replace(kf_ns=ns, mp_pos=mp2)
 
 
-@jax.jit
-def guided_match_count(m: MapState, slot_cur, slot_loop, group_slots,
-                       s_lc, R_lc, t_lc, cam):
+def _guided_match_count_impl(m: MapState, slot_cur, slot_loop, group_slots,
+                             s_lc, R_lc, t_lc, cam):
     """The reference's guided-reprojection verification (ComputeSim3,
     src/LoopClosing.cpp:459-498): project every map point observed by the
     loop KF's covisibility GROUP through the candidate Sim3 into the current
@@ -381,3 +386,63 @@ def guided_match_count(m: MapState, slot_cur, slot_loop, group_slots,
         m.kf_uv[slot_cur], m.kf_level[slot_cur], m.kf_pm1[slot_cur],
         m.kf_feat_valid[slot_cur], radius_px=8.0)
     return jnp.sum(ok)
+
+
+guided_match_count = jax.jit(_guided_match_count_impl)
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def sim3_verify_batch(m: MapState, keys, slot_cur, cand_slots, groups,
+                      min_inliers, cam, fix_scale=False):
+    """Sim3 RANSAC + pixel refinement + guided-group verification for up to C
+    loop candidates as ONE device program (vmapped over candidates).
+
+    The reference iterates candidates sequentially, each with its own solver
+    (ComputeSim3, src/LoopClosing.cpp:277-498); through a remote-attached chip
+    that shape costs a dispatch->pull round trip PER candidate per keyframe
+    event (~124 ms median measured, with every candidate rejected). Here the
+    host pulls one small result tuple and applies the acceptance bars.
+
+    keys: (C,2) PRNG keys; cand_slots: (C,) candidate KF slots; groups:
+    (C,G) loop-side covisibility groups (candidate first, padded with the
+    candidate); min_inliers: (C,) per-candidate RANSAC consensus bar.
+    Returns per-candidate (ok, n_inliers, s, R, t, n_guided)."""
+    from mc_slam_tpu.solver.sim3opt import optimize_sim3
+
+    mp_c = m.kf_mp[slot_cur]
+    has_c = (mp_c >= 0) & m.kf_feat_valid[slot_cur]
+    uv_cur = m.kf_uv[slot_cur]
+
+    def cam_coords(slot, mp):
+        Rwb = m.kf_ns.R[slot]
+        Pwb = m.kf_ns.P[slot]
+        X = m.mp_pos[jnp.clip(mp, 0, m.P - 1)]
+        return (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+
+    def one(key, c, grp, min_in):
+        mp_l = m.kf_mp[c]
+        has_l = (mp_l >= 0) & m.kf_feat_valid[c]
+        idx, _, okm = matching.mutual_match(
+            m.kf_pm1[slot_cur], has_c, m.kf_pm1[c], has_l,
+            max_dist=matching.TH_LOW, ratio=0.9,
+            angle_a=m.kf_angle[slot_cur], angle_b=m.kf_angle[c])
+        Pc_cur = cam_coords(slot_cur, mp_c)
+        Pc_loop = cam_coords(c, mp_l[idx])
+        w = okm.astype(jnp.float32)
+        res = sim3solver.sim3_ransac(key, Pc_loop, Pc_cur, w, cam.fx,
+                                     min_inliers=min_in, fix_scale=fix_scale)
+        uv_loop = m.kf_uv[c][idx]
+        w_in = res.inliers.astype(jnp.float32) * w
+        s2, R2, t2, n2 = optimize_sim3(res.s, res.R, res.t, Pc_cur, Pc_loop,
+                                       uv_cur, uv_loop, w_in, cam, iters=10,
+                                       fix_scale=fix_scale)
+        # keep the refinement only when it strictly improves inlier support
+        better = n2 > res.n_inliers
+        s = jnp.where(better, s2, res.s)
+        R = jnp.where(better, R2, res.R)
+        t = jnp.where(better, t2, res.t)
+        n_in = jnp.where(better, n2, res.n_inliers)
+        ng = _guided_match_count_impl(m, slot_cur, c, grp, s, R, t, cam)
+        return res.ok, n_in, s, R, t, ng
+
+    return jax.vmap(one)(keys, cand_slots, groups, min_inliers)

@@ -494,8 +494,16 @@ class SlamSystem:
         pipeline is genuinely full. drain=True consumes everything (mode
         transitions, flush)."""
         self._harvest_event(force=drain)
+        # deep pipelining only once VI-initialized: during the visual
+        # bootstrap the map is small and keyframes come every few frames —
+        # deferring insertion/LOST decisions by LAG_MAX frames there starves
+        # tracking of new triangulations and causes relocalization storms
+        # (measured on the euroc clone: 8 relocs in the first 200 frames at
+        # depth 8 vs 0 at depth 2). Post-init, IMU-predicted tracking
+        # tolerates the deeper queue and the depth hides the tunnel RTT.
+        lag_max = self.LAG_MAX if self.vi_inited else self.LAG_MIN
         while self._pendings and (
-                drain or len(self._pendings) >= self.LAG_MAX
+                drain or len(self._pendings) >= lag_max
                 or (len(self._pendings) >= self.LAG_MIN
                     and self._summary_ready(self._pendings[0]))):
             self._harvest_one()
@@ -1935,31 +1943,54 @@ class SlamSystem:
         # repetitive scenes.
         streaked = [c for c, s in cands if s][:2]
         fallback = [c for c, s in cands if not s][:1]
+        todo = [(c, 20) for c in streaked] + [(c, 40) for c in fallback]
+        if not todo:
+            return
+        # ONE batched device program for every candidate: Sim3 RANSAC +
+        # pixel refinement + guided-reprojection GROUP verification
+        # (ComputeSim3, LoopClosing.cpp:277-498). The guided gate is what
+        # rejects aliased places: a pairwise Sim3 between two visually
+        # similar spots passes RANSAC with high consensus, but the group's
+        # surrounding geometry does not re-project (base drift without
+        # loops: 5 mm; with unverified closures: 3.6 m, measured). Padded
+        # to a fixed candidate count so the program compiles once; pad rows
+        # carry an unreachable consensus bar.
+        C = 3
+        pad = (todo + [(todo[0][0], 1 << 20)] * C)[:C]
+        cand_arr = np.asarray([c for c, _ in pad], np.int32)
+        bar_arr = np.asarray([b for _, b in pad], np.int32)
+        # loop-side covisibility groups from the detection-time matrix (a
+        # fresh per-candidate row would be a device pull each)
+        W = getattr(self.loop, "last_W", None)
+        amask = self._active_mask()
+        grps = []
+        for c, _ in pad:
+            if W is not None:
+                wrow = W[c] * amask
+                wrow[c] = 0
+                nb = [int(k) for k in np.argsort(-wrow)[:4]
+                      if wrow[k] >= self.cfg.covis_th]
+            else:
+                nb = self._covisible(c, 4)
+            grps.append(([c] + nb + [c] * 5)[:5])
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, C)
+        with self.timers.stage("lc_sim3"):
+            ok_a, nin_a, s_a, R_a, t_a, ng_a = map(np.asarray, (
+                loopclosing.sim3_verify_batch(
+                    self.m, keys, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(cand_arr), jnp.asarray(grps, jnp.int32),
+                    jnp.asarray(bar_arr), self.cam,
+                    fix_scale=self.vi_inited)))
         cand, res = -1, None
-        for c, bar in [(c, 20) for c in streaked] + [(c, 40) for c in fallback]:
-            self.key, sub = jax.random.split(self.key)
-            with self.timers.stage("lc_sim3"):
-                r = loopclosing.compute_sim3_for_loop(
-                    self.m, sub, slot, c, self.cam, min_inliers=bar,
-                    fix_scale=self.vi_inited)
-                ok = bool(r.ok)
-            if not ok:
-                continue
-            # guided-reprojection verification over the loop-side
-            # covisibility GROUP (ComputeSim3, LoopClosing.cpp:459-498):
-            # a pairwise Sim3 between two ALIASED places passes RANSAC with
-            # high consensus, but the group's surrounding geometry does not
-            # re-project — without this gate, false closures warped the map
-            # by metres on repetitive-texture scenes (base drift without
-            # loops: 5 mm; with unverified closures: 3.6 m).
-            with self.timers.stage("lc_verify"):
-                grp = [c] + self._covisible(c, 4)
-                grp = (grp + [c] * 5)[:5]
-                n_guided = int(loopclosing.guided_match_count(
-                    self.m, jnp.asarray(slot), jnp.asarray(c),
-                    jnp.asarray(grp, jnp.int32), r.s, r.R, r.t, self.cam))
-            if n_guided >= 40:
-                cand, res = c, r
+        for i in range(len(todo)):
+            if bool(ok_a[i]) and int(ng_a[i]) >= 40:
+                from mc_slam_tpu.geometry.sim3solver import Sim3Result
+                cand = int(cand_arr[i])
+                res = Sim3Result(ok=True, s=jnp.asarray(s_a[i]),
+                                 R=jnp.asarray(R_a[i]),
+                                 t=jnp.asarray(t_a[i]), inliers=None,
+                                 n_inliers=int(nin_a[i]))
                 break
         if cand < 0:
             return

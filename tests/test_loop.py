@@ -262,3 +262,53 @@ class TestEssentialGraphPersistence:
         assert err_p < 0.2 and err_r < 0.1
         # ...and strictly tighter than the forgetful graph
         assert err_p <= err_p0 + 1e-6
+
+
+class TestSim3VerifyBatch:
+    """Batched per-event Sim3 candidate verification (sim3_verify_batch):
+    RANSAC + refinement + guided-group gate for all candidates in ONE device
+    program (the reference iterates candidates sequentially, ComputeSim3
+    src/LoopClosing.cpp:277-330; sequential dispatch->pull per candidate was
+    ~124 ms each through a remote-attached chip)."""
+
+    def test_identity_pair_and_pad_bar(self, rng):
+        from mc_slam_tpu.camera import euroc_camera
+        from mc_slam_tpu.pipeline import loopclosing
+        from mc_slam_tpu.slam_map.mapstate import empty_map
+
+        cam = euroc_camera()
+        m = empty_map(max_kf=8, max_mp=512, n_feat=256)
+        pts = np.stack([rng.uniform(-2, 2, 200), rng.uniform(-1, 1, 200),
+                        rng.uniform(3, 6, 200)], 1).astype(np.float32)
+        pm1 = rand_desc(rng, 200)
+        m = m._replace(
+            mp_pos=jnp.zeros((512, 3)).at[:200].set(pts),
+            mp_active=jnp.arange(512) < 200,
+            mp_pm1=jnp.zeros((512, 256), jnp.int8).at[:200].set(pm1))
+        u = cam.fx * pts[:, 0] / pts[:, 2] + cam.cx
+        v = cam.fy * pts[:, 1] / pts[:, 2] + cam.cy
+        uv = jnp.stack([u, v], 1)
+        idx200 = jnp.arange(200)
+        m = m._replace(
+            kf_mp=jnp.full((8, 256), -1, jnp.int32)
+            .at[0, :200].set(idx200).at[1, :200].set(idx200),
+            kf_uv=jnp.zeros((8, 256, 2)).at[0, :200].set(uv).at[1, :200].set(uv),
+            kf_pm1=jnp.zeros((8, 256, 256), jnp.int8)
+            .at[0, :200].set(pm1).at[1, :200].set(pm1),
+            kf_feat_valid=jnp.zeros((8, 256), bool)
+            .at[0, :200].set(True).at[1, :200].set(True),
+            kf_active=jnp.zeros(8, bool).at[0].set(True).at[1].set(True))
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        ok, n_in, s, R, t, ng = map(np.asarray, loopclosing.sim3_verify_batch(
+            m, keys, jnp.asarray(1, jnp.int32),
+            jnp.asarray([0, 0, 0], jnp.int32),
+            jnp.asarray([[0] * 5] * 3, jnp.int32),
+            jnp.asarray([20, 20, 1 << 20], jnp.int32), cam, fix_scale=True))
+        # same scene, identity relative pose: candidate passes with S = I
+        assert ok[0] and ok[1]
+        assert np.allclose(R[0], np.eye(3), atol=1e-2)
+        assert np.allclose(t[0], 0.0, atol=1e-2)
+        assert np.allclose(s[0], 1.0)
+        assert ng[0] >= 40
+        # the pad row's unreachable consensus bar must reject it
+        assert not ok[2]
