@@ -392,21 +392,24 @@ guided_match_count = jax.jit(_guided_match_count_impl)
 
 
 @partial(jax.jit, static_argnames=("fix_scale",))
-def sim3_verify_batch(m: MapState, keys, slot_cur, cand_slots, groups,
-                      min_inliers, cam, fix_scale=False):
-    """Sim3 RANSAC + pixel refinement + guided-group verification for up to C
-    loop candidates as ONE device program (vmapped over candidates).
+def sim3_ransac_batch(m: MapState, keys, slot_cur, cand_slots, min_inliers,
+                      cam, fix_scale=False):
+    """Sim3 RANSAC + pixel refinement for up to C loop candidates as ONE
+    device program (vmapped over candidates).
 
     The reference iterates candidates sequentially, each with its own solver
     (ComputeSim3, src/LoopClosing.cpp:277-498); through a remote-attached chip
     that shape costs a dispatch->pull round trip PER candidate per keyframe
     event (~124 ms median measured, with every candidate rejected). Here the
-    host pulls one small result tuple and applies the acceptance bars.
+    host pulls one small result tuple and applies the acceptance bars; the
+    expensive guided-group verification (a whole-map projection search) runs
+    as a SEPARATE dispatch only for a candidate that passed RANSAC — fusing
+    it unconditionally for all candidates tripled the per-event cost for
+    nothing (318 ms median measured vs ~40 ms split).
 
-    keys: (C,2) PRNG keys; cand_slots: (C,) candidate KF slots; groups:
-    (C,G) loop-side covisibility groups (candidate first, padded with the
-    candidate); min_inliers: (C,) per-candidate RANSAC consensus bar.
-    Returns per-candidate (ok, n_inliers, s, R, t, n_guided)."""
+    keys: (C,2) PRNG keys; cand_slots: (C,) candidate KF slots; min_inliers:
+    (C,) per-candidate RANSAC consensus bar.
+    Returns per-candidate (ok, n_inliers, s, R, t)."""
     from mc_slam_tpu.solver.sim3opt import optimize_sim3
 
     mp_c = m.kf_mp[slot_cur]
@@ -419,7 +422,7 @@ def sim3_verify_batch(m: MapState, keys, slot_cur, cand_slots, groups,
         X = m.mp_pos[jnp.clip(mp, 0, m.P - 1)]
         return (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
 
-    def one(key, c, grp, min_in):
+    def one(key, c, min_in):
         mp_l = m.kf_mp[c]
         has_l = (mp_l >= 0) & m.kf_feat_valid[c]
         idx, _, okm = matching.mutual_match(
@@ -442,7 +445,6 @@ def sim3_verify_batch(m: MapState, keys, slot_cur, cand_slots, groups,
         R = jnp.where(better, R2, res.R)
         t = jnp.where(better, t2, res.t)
         n_in = jnp.where(better, n2, res.n_inliers)
-        ng = _guided_match_count_impl(m, slot_cur, c, grp, s, R, t, cam)
-        return res.ok, n_in, s, R, t, ng
+        return res.ok, n_in, s, R, t
 
-    return jax.vmap(one)(keys, cand_slots, groups, min_inliers)
+    return jax.vmap(one)(keys, cand_slots, min_inliers)

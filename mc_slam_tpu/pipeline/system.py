@@ -1947,46 +1947,55 @@ class SlamSystem:
         if not todo:
             return
         # ONE batched device program for every candidate: Sim3 RANSAC +
-        # pixel refinement + guided-reprojection GROUP verification
-        # (ComputeSim3, LoopClosing.cpp:277-498). The guided gate is what
-        # rejects aliased places: a pairwise Sim3 between two visually
-        # similar spots passes RANSAC with high consensus, but the group's
-        # surrounding geometry does not re-project (base drift without
-        # loops: 5 mm; with unverified closures: 3.6 m, measured). Padded
-        # to a fixed candidate count so the program compiles once; pad rows
+        # pixel refinement (ComputeSim3, LoopClosing.cpp:277-330). Padded to
+        # a fixed candidate count so the program compiles once; pad rows
         # carry an unreachable consensus bar.
         C = 3
         pad = (todo + [(todo[0][0], 1 << 20)] * C)[:C]
         cand_arr = np.asarray([c for c, _ in pad], np.int32)
         bar_arr = np.asarray([b for _, b in pad], np.int32)
-        # loop-side covisibility groups from the detection-time matrix (a
-        # fresh per-candidate row would be a device pull each)
-        W = getattr(self.loop, "last_W", None)
-        amask = self._active_mask()
-        grps = []
-        for c, _ in pad:
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, C)
+        with self.timers.stage("lc_sim3"):
+            ok_a, nin_a, s_a, R_a, t_a = map(np.asarray, (
+                loopclosing.sim3_ransac_batch(
+                    self.m, keys, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(cand_arr), jnp.asarray(bar_arr), self.cam,
+                    fix_scale=self.vi_inited)))
+        cand, res = -1, None
+        for i in range(len(todo)):
+            if not bool(ok_a[i]):
+                continue
+            c = int(cand_arr[i])
+            # guided-reprojection verification over the loop-side
+            # covisibility GROUP (ComputeSim3, LoopClosing.cpp:459-498) —
+            # only for a RANSAC-passing candidate (it is a whole-map
+            # projection search; running it unconditionally in the batch
+            # tripled the per-event cost). The guided gate is what rejects
+            # aliased places: a pairwise Sim3 between two visually similar
+            # spots passes RANSAC with high consensus, but the group's
+            # surrounding geometry does not re-project (base drift without
+            # loops: 5 mm; with unverified closures: 3.6 m, measured).
+            # Groups come from the detection-time covisibility matrix (a
+            # fresh per-candidate row would be a device pull each).
+            W = getattr(self.loop, "last_W", None)
             if W is not None:
-                wrow = W[c] * amask
+                wrow = W[c] * self._active_mask()
                 wrow[c] = 0
                 nb = [int(k) for k in np.argsort(-wrow)[:4]
                       if wrow[k] >= self.cfg.covis_th]
             else:
                 nb = self._covisible(c, 4)
-            grps.append(([c] + nb + [c] * 5)[:5])
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, C)
-        with self.timers.stage("lc_sim3"):
-            ok_a, nin_a, s_a, R_a, t_a, ng_a = map(np.asarray, (
-                loopclosing.sim3_verify_batch(
-                    self.m, keys, jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(cand_arr), jnp.asarray(grps, jnp.int32),
-                    jnp.asarray(bar_arr), self.cam,
-                    fix_scale=self.vi_inited)))
-        cand, res = -1, None
-        for i in range(len(todo)):
-            if bool(ok_a[i]) and int(ng_a[i]) >= 40:
+            grp = ([c] + nb + [c] * 5)[:5]
+            with self.timers.stage("lc_verify"):
+                n_guided = int(loopclosing.guided_match_count(
+                    self.m, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(c, jnp.int32), jnp.asarray(grp, jnp.int32),
+                    jnp.asarray(s_a[i]), jnp.asarray(R_a[i]),
+                    jnp.asarray(t_a[i]), self.cam))
+            if n_guided >= 40:
                 from mc_slam_tpu.geometry.sim3solver import Sim3Result
-                cand = int(cand_arr[i])
+                cand = c
                 res = Sim3Result(ok=True, s=jnp.asarray(s_a[i]),
                                  R=jnp.asarray(R_a[i]),
                                  t=jnp.asarray(t_a[i]), inliers=None,
@@ -2066,7 +2075,8 @@ class SlamSystem:
         self._last_init_attempt_nkf = self.n_kf
         # clean the visual map first (TryInitVIO runs a visual-only GBA at
         # src/LocalMapping.cpp:240 before the linear solves)
-        self._local_ba(force_all=True)
+        with self.timers.stage("viinit_gba_vis"):
+            self._local_ba(force_all=True)
         # pad the keyframe window to a 16-bucket so the init solve compiles a
         # handful of shapes instead of one per keyframe count (the solvers are
         # mask-aware: padded rows carry valid=0)
@@ -2086,8 +2096,10 @@ class SlamSystem:
                             + [0.0] * (pad_n - n_real), jnp.float32)
         import time as _time
         _t0 = _time.perf_counter()
-        res = viinit.try_init_vio(Pwc, Rwc, pre, valid, self.ext.Rcb,
-                                  self.ext.tcb, g_mag=cfg.g_mag)
+        with self.timers.stage("viinit_solve"):
+            res = viinit.try_init_vio(Pwc, Rwc, pre, valid, self.ext.Rcb,
+                                      self.ext.tcb, g_mag=cfg.g_mag)
+            res = jax.tree_util.tree_map(np.asarray, res)
         if self.viinit_log is not None:
             self.viinit_log.log_attempt(t, res,
                                         (_time.perf_counter() - _t0) * 1e3)
@@ -2109,14 +2121,15 @@ class SlamSystem:
         # re-preintegrate all KFs with the estimated gyro bias
         bg = np.asarray(res.bg)
         ba_np = np.asarray(res.ba)
-        for slot in act:
-            raw = self.kf_imu_raw.get(slot)
-            if raw is None:
-                continue
-            pre1 = self._preintegrate_raw(raw, jnp.asarray(bg, jnp.float32),
-                                          jnp.asarray(ba_np, jnp.float32))
-            self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
-                lambda a, b: a.at[slot].set(b), self.m.kf_preint, pre1))
+        with self.timers.stage("viinit_repreint"):
+            for slot in act:
+                raw = self.kf_imu_raw.get(slot)
+                if raw is None:
+                    continue
+                pre1 = self._preintegrate_raw(raw, jnp.asarray(bg, jnp.float32),
+                                              jnp.asarray(ba_np, jnp.float32))
+                self.m = self.m._replace(kf_preint=jax.tree_util.tree_map(
+                    lambda a, b: a.at[slot].set(b), self.m.kf_preint, pre1))
         pre2 = jax.tree_util.tree_map(lambda a: a[ks], self.m.kf_preint)
         V = viinit.compute_velocities(Pwc, Rwc, pre2, valid, self.ext.Rcb,
                                       self.ext.tcb, jnp.asarray(s), res.gw,
@@ -2155,7 +2168,8 @@ class SlamSystem:
         self.imu_since_frame = list(self.imu_since_kf)
         self.prior = None
         # full VI global BA (GlobalBundleAdjustmentNavStatePRV)
-        self._local_ba(force_all=True)
+        with self.timers.stage("viinit_gba_vi"):
+            self._local_ba(force_all=True)
         self.last_ns = jax.tree_util.tree_map(lambda a: a[act[-1]], self.m.kf_ns)
         self.last_pose = (self.last_ns.P, self.last_ns.R)
 

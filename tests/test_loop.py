@@ -265,11 +265,11 @@ class TestEssentialGraphPersistence:
 
 
 class TestSim3VerifyBatch:
-    """Batched per-event Sim3 candidate verification (sim3_verify_batch):
-    RANSAC + refinement + guided-group gate for all candidates in ONE device
-    program (the reference iterates candidates sequentially, ComputeSim3
-    src/LoopClosing.cpp:277-330; sequential dispatch->pull per candidate was
-    ~124 ms each through a remote-attached chip)."""
+    """Batched per-event Sim3 candidate RANSAC (sim3_ransac_batch) + the
+    separate guided-group gate (the reference iterates candidates
+    sequentially, ComputeSim3 src/LoopClosing.cpp:277-330; sequential
+    dispatch->pull per candidate was ~124 ms each through a remote-attached
+    chip)."""
 
     def test_identity_pair_and_pad_bar(self, rng):
         from mc_slam_tpu.camera import euroc_camera
@@ -299,16 +299,20 @@ class TestSim3VerifyBatch:
             .at[0, :200].set(True).at[1, :200].set(True),
             kf_active=jnp.zeros(8, bool).at[0].set(True).at[1].set(True))
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
-        ok, n_in, s, R, t, ng = map(np.asarray, loopclosing.sim3_verify_batch(
+        ok, n_in, s, R, t = map(np.asarray, loopclosing.sim3_ransac_batch(
             m, keys, jnp.asarray(1, jnp.int32),
             jnp.asarray([0, 0, 0], jnp.int32),
-            jnp.asarray([[0] * 5] * 3, jnp.int32),
             jnp.asarray([20, 20, 1 << 20], jnp.int32), cam, fix_scale=True))
         # same scene, identity relative pose: candidate passes with S = I
         assert ok[0] and ok[1]
         assert np.allclose(R[0], np.eye(3), atol=1e-2)
         assert np.allclose(t[0], 0.0, atol=1e-2)
         assert np.allclose(s[0], 1.0)
-        assert ng[0] >= 40
         # the pad row's unreachable consensus bar must reject it
         assert not ok[2]
+        # the guided-group verification gate on the passing candidate
+        ng = int(loopclosing.guided_match_count(
+            m, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray([0] * 5, jnp.int32), jnp.asarray(s[0]),
+            jnp.asarray(R[0]), jnp.asarray(t[0]), cam))
+        assert ng >= 40
