@@ -157,6 +157,7 @@ def refine_gravity_accbias(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
     return s, ba, gw, Rwi_, sv
 
 
+@jax.jit
 def compute_velocities(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
                        scale, gw, ba):
     """Step 4: per-keyframe body velocities (src/LocalMapping.cpp:601-647).
@@ -193,6 +194,7 @@ def compute_velocities(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
     return jnp.where(valid_next[:, None] > 0, V_fwd, V_mot)
 
 
+@jax.jit
 def apply_init_to_navstates(Pwc, Rwc, Rcb, pcb, scale, bg, ba, V):
     """Set keyframe NavStates from the visual poses and init results
     (src/LocalMapping.cpp:585-599): P = s*wPc + Rwc pcb, R = Rwc Rcb."""
@@ -201,10 +203,13 @@ def apply_init_to_navstates(Pwc, Rwc, Rcb, pcb, scale, bg, ba, V):
     return P, R, V
 
 
+@partial(jax.jit, static_argnames=("gyro_iters",))
 def try_init_vio(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
                  g_mag=9.810, gyro_iters: int = 5) -> VIInitResult:
     """Full VI-init solve (no success gating — the caller applies the 15 s rule,
-    src/LocalMapping.cpp:536-539)."""
+    src/LocalMapping.cpp:536-539). Jitted as ONE program: the eager form was
+    ~40 s of op-by-op compile+dispatch through a remote-attached chip at the
+    moment of the (single) successful attempt."""
     Rwb = Rwc @ Rcb
     bg = estimate_gyro_bias(Rwb, pre, valid_pair, iters=gyro_iters)
     # caller must re-preintegrate with bg before steps 2/3; we accept `pre`
