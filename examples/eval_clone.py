@@ -72,7 +72,10 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("MC_SLAM_JAXCACHE",
                                          "/tmp/mc_slam_jaxcache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY executable: a full pipeline run makes ~470 compiles of
+        # which ~460 are sub-second eager/glue ops totalling ~190 s through a
+        # remote-attached chip - the default 1 s floor re-paid them every run
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mc_slam_tpu.camera import euroc_camera
     from mc_slam_tpu.eval.ate import ate_rmse

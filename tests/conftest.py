@@ -26,7 +26,8 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "")
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist every executable (see eval_clone.py on the sub-second floor)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
