@@ -445,6 +445,10 @@ def sim3_ransac_batch(m: MapState, keys, slot_cur, cand_slots, min_inliers,
         R = jnp.where(better, R2, res.R)
         t = jnp.where(better, t2, res.t)
         n_in = jnp.where(better, n2, res.n_inliers)
-        return res.ok, n_in, s, R, t
+        # pack into ONE row so the host pays a single device->host pull
+        # (five sequential np.asarray pulls cost 5 tunnel RTTs ~ 130 ms)
+        return jnp.concatenate([
+            jnp.stack([res.ok.astype(s.dtype), n_in.astype(s.dtype), s]),
+            R.reshape(9), t])
 
-    return jax.vmap(one)(keys, cand_slots, min_inliers)
+    return jax.vmap(one)(keys, cand_slots, min_inliers)    # (C, 15)

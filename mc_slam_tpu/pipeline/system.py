@@ -169,7 +169,12 @@ class SlamSystem:
         # minimal when the device is the bottleneck.
         self.LAG_MIN = 2
         import os as _os
-        self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "8"))
+        # depth 16 ~ RTT / host-dispatch-period: at the pipeline-full limit
+        # each frame blocks (RTT - depth * dispatch_ms); the fused frame
+        # program itself is ~1-2 ms of device time, so the tunnel round trip
+        # is the whole per-frame budget (measured: depth 8 -> 34 ms mean
+        # harvest block, the dominant steady-state frame cost)
+        self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "16"))
         # deferred tail of the last keyframe event (stats + loop detection)
         self._deferred_event: dict | None = None
         self._map_epoch = 0
@@ -1957,11 +1962,15 @@ class SlamSystem:
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, C)
         with self.timers.stage("lc_sim3"):
-            ok_a, nin_a, s_a, R_a, t_a = map(np.asarray, (
-                loopclosing.sim3_ransac_batch(
-                    self.m, keys, jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(cand_arr), jnp.asarray(bar_arr), self.cam,
-                    fix_scale=self.vi_inited)))
+            packed = np.asarray(loopclosing.sim3_ransac_batch(
+                self.m, keys, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(cand_arr), jnp.asarray(bar_arr), self.cam,
+                fix_scale=self.vi_inited))
+            ok_a = packed[:, 0] > 0.5
+            nin_a = packed[:, 1].astype(np.int64)
+            s_a = packed[:, 2]
+            R_a = packed[:, 3:12].reshape(-1, 3, 3)
+            t_a = packed[:, 12:15]
         cand, res = -1, None
         for i in range(len(todo)):
             if not bool(ok_a[i]):

@@ -299,10 +299,15 @@ class TestSim3VerifyBatch:
             .at[0, :200].set(True).at[1, :200].set(True),
             kf_active=jnp.zeros(8, bool).at[0].set(True).at[1].set(True))
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
-        ok, n_in, s, R, t = map(np.asarray, loopclosing.sim3_ransac_batch(
+        packed = np.asarray(loopclosing.sim3_ransac_batch(
             m, keys, jnp.asarray(1, jnp.int32),
             jnp.asarray([0, 0, 0], jnp.int32),
             jnp.asarray([20, 20, 1 << 20], jnp.int32), cam, fix_scale=True))
+        ok = packed[:, 0] > 0.5
+        n_in = packed[:, 1]
+        s = packed[:, 2]
+        R = packed[:, 3:12].reshape(-1, 3, 3)
+        t = packed[:, 12:15]
         # same scene, identity relative pose: candidate passes with S = I
         assert ok[0] and ok[1]
         assert np.allclose(R[0], np.eye(3), atol=1e-2)
