@@ -52,16 +52,17 @@ def vi_window_problem(n_kf=20, n_pts=2048, obs_per_kf=512, seed=0,
                     inv_sigma2=jnp.ones(O, dtype),
                     valid=jnp.asarray(Pc[:, 2] > 0.5, dtype))
 
-    # IMU chain: 50 samples per gap at 200 Hz
+    # IMU chain: 50 samples per gap at 200 Hz — ONE vmapped preintegration
+    # over the gaps (a python loop of eager calls cost ~90 s of per-chunk
+    # compile+dispatch round trips through a remote-attached chip)
     noise = euroc_noise()
-    pres = []
-    for k in range(n_kf - 1):
-        rows = np.zeros((50, 7), np.float32)
-        rows[:, 0:3] = rng.normal(size=(50, 3)) * 0.2
-        rows[:, 3:6] = rng.normal(size=(50, 3)) * 0.5 + [0, 0, 9.81]
-        rows[:, 6] = 0.005
-        pres.append(preintegrate(jnp.asarray(rows), jnp.zeros(3), jnp.zeros(3), noise))
-    pre = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
+    rows = np.zeros((n_kf - 1, 50, 7), np.float32)
+    rows[..., 0:3] = rng.normal(size=(n_kf - 1, 50, 3)) * 0.2
+    rows[..., 3:6] = rng.normal(size=(n_kf - 1, 50, 3)) * 0.5 + [0, 0, 9.81]
+    rows[..., 6] = 0.005
+    z3s = jnp.zeros((n_kf - 1, 3), dtype)
+    pre = jax.vmap(lambda r, bg, ba: preintegrate(r, bg, ba, noise))(
+        jnp.asarray(rows), z3s, z3s)
     edges = ba_vi.IMUEdges(
         i=jnp.arange(0, n_kf - 1, dtype=jnp.int32),
         j=jnp.arange(1, n_kf, dtype=jnp.int32),

@@ -169,14 +169,16 @@ class SlamSystem:
         # minimal when the device is the bottleneck.
         self.LAG_MIN = 2
         import os as _os
-        # depth 16 ~ RTT / host-dispatch-period: at the pipeline-full limit
-        # each frame blocks (RTT - depth * dispatch_ms); the fused frame
-        # program itself is ~1-2 ms of device time, so the tunnel round trip
-        # is the whole per-frame budget (measured: depth 8 -> 34 ms mean
-        # harvest block, the dominant steady-state frame cost)
-        self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "16"))
+        # depth 8: the device transport caps useful in-flight programs — at
+        # depth 16 the DISPATCH call itself starts blocking (track stage mean
+        # 6 -> 46 ms measured) and the loop runs slower than at 8. The fused
+        # frame program is ~1-2 ms of device time; the ~30 ms tunnel round
+        # trip is the per-frame floor the depth must cover.
+        self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "8"))
         # deferred tail of the last keyframe event (stats + loop detection)
         self._deferred_event: dict | None = None
+        # in-flight Sim3 RANSAC batch for loop candidates (_harvest_sim3)
+        self._deferred_sim3: dict | None = None
         self._map_epoch = 0
         self.n_lost_frames = 0
         # diagnostic event log: (frame_id, kind, detail) — closures, losses,
@@ -499,6 +501,7 @@ class SlamSystem:
         pipeline is genuinely full. drain=True consumes everything (mode
         transitions, flush)."""
         self._harvest_event(force=drain)
+        self._harvest_sim3(force=drain)
         # deep pipelining only once VI-initialized: during the visual
         # bootstrap the map is small and keyframes come every few frames —
         # deferring insertion/LOST decisions by LAG_MAX frames there starves
@@ -633,6 +636,7 @@ class SlamSystem:
         Call before reading system state externally."""
         self._harvest_pending(drain=True)
         self._harvest_event(force=True)
+        self._harvest_sim3(force=True)
         self.traj.flush()
 
     # ------------------------------------------------------------------
@@ -1929,6 +1933,14 @@ class SlamSystem:
         return self.n_kf - getattr(self, "_last_loop_nkf", -100) >= 10
 
     def _try_close_loop(self, slot, handles=None):
+        """Dispatch the per-event loop-closure work. The Sim3 RANSAC batch is
+        DISPATCH-ONLY here; its (tiny, packed) result is harvested frames
+        later when the async copy has landed (_harvest_sim3) — pulling it
+        inline waited out the whole queued keyframe-event device chain
+        (~185 ms median measured). Synchronous callers (no handles: depth
+        modes, tests) drain immediately."""
+        sync = handles is None
+        self._harvest_sim3(force=True)      # at most one in-flight batch
         if not self._loop_gates_open():
             return
         act = list(self.kf_slots)
@@ -1939,13 +1951,11 @@ class SlamSystem:
                                      kf_ids=self.kf_id_host, handles=handles)
         # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
         # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330).
-        # At most 2 streaked + 1 fallback candidate per event (each RANSAC +
-        # refine is a device round trip, and the KF-event budget is the
-        # pipeline's latency tax); a candidate WITHOUT the 3-consecutive
-        # consistency streak must clear a doubled geometric-consensus bar
-        # (~ the reference's guided-match total, LoopClosing.cpp:459-498) —
-        # inlier count alone is the classic false-loop failure on
-        # repetitive scenes.
+        # At most 2 streaked + 1 fallback candidate per event; a candidate
+        # WITHOUT the 3-consecutive consistency streak must clear a doubled
+        # geometric-consensus bar (~ the reference's guided-match total,
+        # LoopClosing.cpp:459-498) — inlier count alone is the classic
+        # false-loop failure on repetitive scenes.
         streaked = [c for c, s in cands if s][:2]
         fallback = [c for c, s in cands if not s][:1]
         todo = [(c, 20) for c in streaked] + [(c, 40) for c in fallback]
@@ -1962,20 +1972,55 @@ class SlamSystem:
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, C)
         with self.timers.stage("lc_sim3"):
-            packed = np.asarray(loopclosing.sim3_ransac_batch(
+            packed = loopclosing.sim3_ransac_batch(
                 self.m, keys, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(cand_arr), jnp.asarray(bar_arr), self.cam,
-                fix_scale=self.vi_inited))
-            ok_a = packed[:, 0] > 0.5
-            nin_a = packed[:, 1].astype(np.int64)
-            s_a = packed[:, 2]
-            R_a = packed[:, 3:12].reshape(-1, 3, 3)
-            t_a = packed[:, 12:15]
+                fix_scale=self.vi_inited)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+        self._deferred_sim3 = {"slot": slot, "cand_arr": cand_arr,
+                               "n_todo": len(todo), "packed": packed}
+        if sync:
+            self._harvest_sim3(force=True)
+
+    def _harvest_sim3(self, force=False):
+        """Consume a landed Sim3 RANSAC batch: guided-group gate on a passing
+        candidate, then the loop closure itself (CorrectLoop). Readiness-gated
+        like the other deferred keyframe-event stages."""
+        p = self._deferred_sim3
+        if p is None:
+            return
+        if not force:
+            try:
+                if not p["packed"].is_ready():
+                    return
+            except Exception:
+                p["age"] = p.get("age", 0) + 1
+                if p["age"] < 4:
+                    return
+        self._deferred_sim3 = None
+        slot = p["slot"]
+        if slot not in self.kf_slots or not self._loop_gates_open():
+            return
+        act = list(self.kf_slots)
+        cand_arr = p["cand_arr"]
+        with self.timers.stage("lc_sim3_pull"):
+            packed = np.asarray(p["packed"])
+        ok_a = packed[:, 0] > 0.5
+        nin_a = packed[:, 1].astype(np.int64)
+        s_a = packed[:, 2]
+        R_a = packed[:, 3:12].reshape(-1, 3, 3)
+        t_a = packed[:, 12:15]
+        todo = [(int(cand_arr[i]), None) for i in range(p["n_todo"])]
         cand, res = -1, None
         for i in range(len(todo)):
             if not bool(ok_a[i]):
                 continue
             c = int(cand_arr[i])
+            if c not in self.kf_slots:     # culled since the dispatch
+                continue
             # guided-reprojection verification over the loop-side
             # covisibility GROUP (ComputeSim3, LoopClosing.cpp:459-498) —
             # only for a RANSAC-passing candidate (it is a whole-map
