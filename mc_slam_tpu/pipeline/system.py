@@ -167,7 +167,12 @@ class SlamSystem:
         # staleness (keyframe insertion / LOST detection at most LAG_MAX
         # frames late); LAG_MIN keeps the old floor so decision latency stays
         # minimal when the device is the bottleneck.
-        self.LAG_MIN = 2
+        # LAG_MIN=1: harvest an entry as soon as its summary copy has landed
+        # (is_ready) — with readiness gating an eager harvest never blocks,
+        # and decisions (LOST, keyframe) land at minimum latency. Entries
+        # may be two-frame pairs, so a count of 2 would double loss-surface
+        # latency (tests pin it at <= 3 frames, the reference's immediacy).
+        self.LAG_MIN = 1
         import os as _os
         # depth 8: the device transport caps useful in-flight programs — at
         # depth 16 the DISPATCH call itself starts blocking (track stage mean
@@ -175,6 +180,10 @@ class SlamSystem:
         # frame program is ~1-2 ms of device time; the ~30 ms tunnel round
         # trip is the per-frame floor the depth must cover.
         self.LAG_MAX = int(_os.environ.get("MC_SLAM_LAG_MAX", "8"))
+        # frames fused per dispatch post-VI-init (frame_pipeline_vi_pair):
+        # the steady frame rate is tunnel-round-trips-per-frame bound
+        self.PAIR = int(_os.environ.get("MC_SLAM_PAIR", "2"))
+        self._pair_buf: dict | None = None
         # deferred tail of the last keyframe event (stats + loop detection)
         self._deferred_event: dict | None = None
         # in-flight Sim3 RANSAC batch for loop candidates (_harvest_sim3)
@@ -270,7 +279,10 @@ class SlamSystem:
             # fused async hot path
             with self.timers.stage("track"):
                 if self.vi_inited:
-                    self._dispatch_frame_vi(self.upload(img), t)
+                    if self.PAIR > 1:
+                        self._pair_push(self.upload(img), t)
+                    else:
+                        self._dispatch_frame_vi(self.upload(img), t)
                 else:
                     self._dispatch_frame_visual(self.upload(img), t)
             self.last_time = t
@@ -383,13 +395,50 @@ class SlamSystem:
             self._traj_row_jit_ = fn
         return fn
 
-    def _dispatch_frame_vi(self, img, t):
-        """Dispatch the fused VI frame program; no host sync."""
+    def _capture_imu_frame(self):
+        """Consume the per-frame IMU buffer into a fixed-size raw array."""
         cfg = self.cfg
         rows = self._imu_rows(self.imu_since_frame)
         rows = rows[-cfg.max_imu_per_kf:]
         rawp = np.zeros((cfg.max_imu_per_kf, 7), np.float32)
         rawp[:len(rows)] = rows
+        self.imu_since_frame = []
+        return rawp
+
+    def _state_backup(self):
+        return (self.last_ns, self.prior, self.last_pose, self.velocity,
+                self._prev_match, self.m.mp_found, self.m.mp_visible,
+                self._cur_feat_mp)
+
+    def _pair_push(self, img, t):
+        """Frame pairing (PAIR=2): buffer one VI frame; dispatch BOTH frames
+        as ONE fused device program on the next (frame_pipeline_vi_pair).
+        Every dispatch->result round trip through a remote-attached chip is
+        ~25 ms against ~2 ms of device compute, so round trips per frame —
+        not compute — set the steady frame rate; pairing halves them."""
+        rawp = self._capture_imu_frame()
+        dt_f = np.float32(max(t - self.last_time, 1e-3))
+        if self._pair_buf is None:
+            self._pair_buf = dict(img=img, t=t, rawp=rawp, dt=dt_f,
+                                  fid=self.frame_id,
+                                  backup=self._state_backup())
+            return
+        buf = self._pair_buf
+        self._pair_buf = None
+        self._dispatch_frame_vi_pair(buf, img, t, rawp, dt_f)
+
+    def _flush_pair_buf(self):
+        """Dispatch a buffered half-pair as a single frame (drain path)."""
+        buf = getattr(self, "_pair_buf", None)
+        if buf is None:
+            return
+        self._pair_buf = None
+        self._dispatch_frame_vi(buf["img"], buf["t"], rawp=buf["rawp"],
+                                dt_f=buf["dt"], fid=buf["fid"],
+                                backup=buf["backup"])
+
+    def _dispatch_frame_vi_pair(self, buf, img_b, t_b, rawp_b, dt_b):
+        cfg = self.cfg
         if self.prior is None:
             self.prior = ba_vi.PriorFactor(
                 cam=self._c0i, ns0=self.last_ns,
@@ -397,10 +446,59 @@ class SlamSystem:
         pfm, pan = (self._prev_match if self._prev_match is not None
                     else (self._zero_fmp, self._zero_ang))
         k, kid = self._anchor_slot()
-        dt_f = np.float32(max(t - self.last_time, 1e-3))
-        backup = (self.last_ns, self.prior, self.last_pose, self.velocity,
-                  self._prev_match, self.m.mp_found, self.m.mp_visible,
-                  self._cur_feat_mp)
+        (feats_a, uv_a, fmp_a, ns_a, traj_a,
+         feats_b, uv_b, fmp_b, ns_b, traj_b,
+         Hp_b, mp_found, mp_vis, summary2) = tracking.frame_pipeline_vi_pair(
+            self.m, buf["img"], img_b, buf["rawp"], rawp_b, self.cam,
+            self.ext, self.noise, self.last_ns, self.gw, self.prior, pfm,
+            pan, np.int32(max(k, 0)), buf["dt"], dt_b, self._fresh_fb,
+            sigma_bg=float(self.noise.sigma_bg),
+            sigma_ba=float(self.noise.sigma_ba),
+            n_features=cfg.n_feat, n_levels=cfg.n_levels,
+            rtol=cfg.track_rtol, has_prev=self._prev_match is not None)
+        try:
+            summary2.copy_to_host_async()
+        except Exception:
+            pass
+        backup = buf["backup"]
+        self.last_ns = ns_b
+        self.last_pose = (ns_b.P, ns_b.R)
+        self.prior = ba_vi.PriorFactor(cam=self._c0i, ns0=ns_b, info=Hp_b,
+                                       valid=self._c1f)
+        self._cur_feat_mp = fmp_b
+        self._prev_match = (fmp_b, feats_b.angle)
+        self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
+        self.last_feats = feats_b
+        row_a = len(self.traj.meta)
+        self.traj.append(traj_a, buf["t"], k, kid)
+        self.traj.append(traj_b, t_b, k, kid)
+        self._pendings.append(dict(
+            mode="vi2", row=row_a, summary=summary2, backup=backup,
+            epoch=self._map_epoch,
+            frames=(dict(feats=feats_a, uv=uv_a, t=buf["t"],
+                         frame_id=buf["fid"], feat_mp=fmp_a,
+                         pose=(ns_a.P, ns_a.R), ns=ns_a),
+                    dict(feats=feats_b, uv=uv_b, t=t_b,
+                         frame_id=self.frame_id, feat_mp=fmp_b,
+                         pose=(ns_b.P, ns_b.R), ns=ns_b))))
+
+    def _dispatch_frame_vi(self, img, t, rawp=None, dt_f=None, fid=None,
+                           backup=None):
+        """Dispatch the fused VI frame program; no host sync."""
+        cfg = self.cfg
+        if rawp is None:
+            rawp = self._capture_imu_frame()
+        if self.prior is None:
+            self.prior = ba_vi.PriorFactor(
+                cam=self._c0i, ns0=self.last_ns,
+                info=self._prior_fresh_1e3, valid=self._c1f)
+        pfm, pan = (self._prev_match if self._prev_match is not None
+                    else (self._zero_fmp, self._zero_ang))
+        k, kid = self._anchor_slot()
+        if dt_f is None:
+            dt_f = np.float32(max(t - self.last_time, 1e-3))
+        if backup is None:
+            backup = self._state_backup()
         (feats, uv, ns2, feat_mp, H_prior, mp_found, mp_vis, traj_row,
          summary) = tracking.frame_pipeline_vi(
             self.m, img, rawp, self.cam, self.ext, self.noise, self.last_ns,
@@ -420,7 +518,6 @@ class SlamSystem:
         self.last_pose = (ns2.P, ns2.R)
         self.prior = ba_vi.PriorFactor(cam=self._c0i, ns0=ns2, info=H_prior,
                                        valid=self._c1f)
-        self.imu_since_frame = []
         self._cur_feat_mp = feat_mp
         self._prev_match = (feat_mp, feats.angle)
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
@@ -428,7 +525,9 @@ class SlamSystem:
         self.traj.append(traj_row, t, k, kid)
         self._pendings.append(dict(
             mode="vi", row=len(self.traj.meta) - 1, summary=summary, feats=feats, uv=uv,
-                             t=t, frame_id=self.frame_id, backup=backup,
+                             t=t,
+                             frame_id=self.frame_id if fid is None else fid,
+                             backup=backup,
                              epoch=self._map_epoch, feat_mp=feat_mp,
                              pose=(ns2.P, ns2.R), ns=ns2))
 
@@ -473,8 +572,12 @@ class SlamSystem:
         # drop this frame's trajectory row and every newer in-flight frame's
         # (they were dispatched from the lost state)
         self.traj.truncate(p["row"])
-        self.n_lost_frames += len(self._pendings)
+        self.n_lost_frames += sum(2 if q["mode"] == "vi2" else 1
+                                  for q in self._pendings)
         self._pendings.clear()
+        if self._pair_buf is not None:
+            self.n_lost_frames += 1
+            self._pair_buf = None
         if p.get("epoch") != self._map_epoch:
             # a keyframe event / closure / VI init re-seated the tracking
             # state after this frame was dispatched: the dispatch-time backup
@@ -500,6 +603,8 @@ class SlamSystem:
         unconditionally at depth LAG_MAX — the hot loop blocks only when the
         pipeline is genuinely full. drain=True consumes everything (mode
         transitions, flush)."""
+        if drain:
+            self._flush_pair_buf()
         self._harvest_event(force=drain)
         self._harvest_sim3(force=drain)
         # deep pipelining only once VI-initialized: during the visual
@@ -509,7 +614,7 @@ class SlamSystem:
         # (measured on the euroc clone: 8 relocs in the first 200 frames at
         # depth 8 vs 0 at depth 2). Post-init, IMU-predicted tracking
         # tolerates the deeper queue and the depth hides the tunnel RTT.
-        lag_max = self.LAG_MAX if self.vi_inited else self.LAG_MIN
+        lag_max = self.LAG_MAX if self.vi_inited else 2
         while self._pendings and (
                 drain or len(self._pendings) >= lag_max
                 or (len(self._pendings) >= self.LAG_MIN
@@ -519,6 +624,8 @@ class SlamSystem:
     def _harvest_one(self):
         p = self._pendings.popleft()
         cfg = self.cfg
+        if p["mode"] == "vi2":
+            return self._harvest_pair(p)
         with self.timers.stage("harvest_pull"):
             s = np.asarray(p["summary"])
         n_in = int(s[0])
@@ -591,6 +698,38 @@ class SlamSystem:
                 self._maybe_vi_init(p["t"])
                 if self.vi_inited:
                     self._invalidate_frame_caches()
+
+    def _harvest_pair(self, p):
+        """Deferred decisions for a fused two-frame dispatch: one summary
+        pull covers both frames; LOST / keyframe checks run per sub-frame.
+        A loss anywhere in the pair rolls back to the pre-pair state (losses
+        are rare in VI steady state; the one extra dropped frame is cheaper
+        than per-frame backups)."""
+        cfg = self.cfg
+        with self.timers.stage("harvest_pull"):
+            s2 = np.asarray(p["summary"])
+        for i, fr in enumerate(p["frames"]):
+            n_in = int(s2[i][0])
+            if n_in < max(6, cfg.min_track_inliers // 2):
+                self._rollback_pending(p)
+                self._prev_match = None
+                self.state = LOST
+                self.n_lost_frames += 2 - i
+                self.events.append((fr["frame_id"], "lost",
+                                    dict(mode="vi2", n_in=n_in)))
+                return
+            self._cur_inliers = n_in
+            if (not self.localization_only
+                    and p.get("epoch") == self._map_epoch
+                    and self._need_new_kf(fid=fr["frame_id"])):
+                with self.timers.stage("local_mapping"):
+                    with self.timers.stage("lm_insert"):
+                        slot = self._create_keyframe(
+                            fr["feats"], fr["uv"], fr["t"],
+                            fid=fr["frame_id"], pose=fr["pose"],
+                            ns=fr["ns"], feat_mp=fr["feat_mp"])
+                    self._local_mapping()
+                self._invalidate_frame_caches()
 
     def _harvest_event(self, force=False):
         """Harvest the deferred tail of the last keyframe event: post-BA

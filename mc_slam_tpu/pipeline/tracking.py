@@ -306,33 +306,19 @@ def _traj_row(m: MapState, P, R, anchor_slot):
     return P_rel, R_rel, P, R
 
 
-@partial(jax.jit,
-         static_argnames=("n_features", "n_levels", "iters", "rtol",
-                          "has_prev"))
-def frame_pipeline_vi(m: MapState, img, rawp, cam: Camera,
-                      ext: factors.Extrinsics, noise, ns_last, gw,
-                      prior_last: ba_vi.PriorFactor, prev_feat_mp, prev_angle,
-                      anchor_slot, dt_f, fresh_prior_fb,
-                      sigma_bg=2e-5, sigma_ba=5e-3,
-                      n_features=1024, n_levels=8, iters: int = 20,
-                      rtol: float = 0.0, has_prev: bool = True,
-                      fb_min_inliers=20):
-    """One dispatch per VI frame: ORB extraction, undistortion, fused IMU
-    tracking step, and the wide-window visual fallback as a lax.cond branch
-    (the host-side retry in the old _track_frame_vi cost a full round trip
-    exactly on the frames that were already struggling).
-
-    fresh_prior_fb: (15,15) prior info used when the fallback is taken (weak
-    pose/velocity, keyframe-grade biases — see SlamSystem._fresh_prior_info).
-    Returns (feats, uv, ns2, feat_mp, H_prior, mp_found, mp_vis,
-    traj(P_rel, R_rel, P_abs, R_abs), summary[n_in, bias_jump, used_fb,
-    n_matches])."""
+def _vi_frame_body(m: MapState, img, rawp, cam, ext, noise, ns_last, gw,
+                   prior_last, pfm, pan, anchor_slot, dt_f, fresh_prior_fb,
+                   sigma_bg, sigma_ba, n_features, n_levels, iters, rtol,
+                   fb_min_inliers):
+    """One VI frame: ORB extraction, undistortion, fused IMU tracking step,
+    and the wide-window visual fallback as a lax.cond branch (the host-side
+    retry in the old _track_frame_vi cost a full round trip exactly on the
+    frames that were already struggling). pfm/pan None = no previous frame.
+    Returns (feats, uv, ns_f, fmp_f, Hp_f, fv, traj, summary_row)."""
     from mc_slam_tpu.frontend import extractor as _ex
     feats = _ex.extract(img, n_features=n_features, n_levels=n_levels)
     from mc_slam_tpu.camera import undistort_points as _undist
     uv = _undist(cam, feats.xy)
-    pfm = prev_feat_mp if has_prev else None
-    pan = prev_angle if has_prev else None
     from mc_slam_tpu.imu.preintegration import predict_navstate, preintegrate
     pre_last_cur = preintegrate(rawp, ns_last.bg_full, ns_last.ba_full, noise)
     ns_cur0 = predict_navstate(ns_last, pre_last_cur, gw)
@@ -373,8 +359,80 @@ def frame_pipeline_vi(m: MapState, img, rawp, cam: Camera,
                          bias_jump.astype(jnp.float32),
                          used_fb.astype(jnp.float32),
                          n_m.astype(jnp.float32)])
+    return feats, uv, ns_f, fmp_f, Hp_f, fv, traj, summary
+
+
+@partial(jax.jit,
+         static_argnames=("n_features", "n_levels", "iters", "rtol",
+                          "has_prev"))
+def frame_pipeline_vi(m: MapState, img, rawp, cam: Camera,
+                      ext: factors.Extrinsics, noise, ns_last, gw,
+                      prior_last: ba_vi.PriorFactor, prev_feat_mp, prev_angle,
+                      anchor_slot, dt_f, fresh_prior_fb,
+                      sigma_bg=2e-5, sigma_ba=5e-3,
+                      n_features=1024, n_levels=8, iters: int = 20,
+                      rtol: float = 0.0, has_prev: bool = True,
+                      fb_min_inliers=20):
+    """One dispatch per VI frame (see _vi_frame_body).
+
+    fresh_prior_fb: (15,15) prior info used when the fallback is taken (weak
+    pose/velocity, keyframe-grade biases — see SlamSystem._fresh_prior_info).
+    Returns (feats, uv, ns2, feat_mp, H_prior, mp_found, mp_vis,
+    traj(P_rel, R_rel, P_abs, R_abs), summary[n_in, bias_jump, used_fb,
+    n_matches])."""
+    pfm = prev_feat_mp if has_prev else None
+    pan = prev_angle if has_prev else None
+    feats, uv, ns_f, fmp_f, Hp_f, fv, traj, summary = _vi_frame_body(
+        m, img, rawp, cam, ext, noise, ns_last, gw, prior_last, pfm, pan,
+        anchor_slot, dt_f, fresh_prior_fb, sigma_bg, sigma_ba,
+        n_features, n_levels, iters, rtol, fb_min_inliers)
     return (feats, uv, ns_f, fmp_f, Hp_f, m.mp_found + fv, m.mp_visible + fv,
             traj, summary)
+
+
+@partial(jax.jit,
+         static_argnames=("n_features", "n_levels", "iters", "rtol",
+                          "has_prev"))
+def frame_pipeline_vi_pair(m: MapState, img_a, img_b, rawp_a, rawp_b,
+                           cam: Camera, ext: factors.Extrinsics, noise,
+                           ns_last, gw, prior_last: ba_vi.PriorFactor,
+                           prev_feat_mp, prev_angle, anchor_slot, dt_a, dt_b,
+                           fresh_prior_fb, sigma_bg=2e-5, sigma_ba=5e-3,
+                           n_features=1024, n_levels=8, iters: int = 20,
+                           rtol: float = 0.0, has_prev: bool = True,
+                           fb_min_inliers=20):
+    """TWO consecutive VI frames fused into ONE dispatch, frame B chained
+    in-graph on frame A's state (pose, marginal prior, previous-frame match
+    table, angles). Through a remote-attached chip every dispatch->result
+    round trip costs ~25 ms regardless of the ~2 ms of device compute, so
+    the steady-state frame rate is round-trips-per-frame bound: pairing
+    halves it. The reference has no analog (its per-frame cost is CPU
+    compute); this is transport-topology-driven design.
+
+    Outputs are per-frame TUPLES (separate device buffers — a stacked output
+    would cost slice dispatches at harvest) except the summary, which is one
+    (2, 4) buffer so the host pays a single async copy per pair.
+    Returns (feats_a, uv_a, fmp_a, ns_a, traj_a,
+             feats_b, uv_b, fmp_b, ns_b, traj_b,
+             H_prior_b, mp_found2, mp_vis2, summary2)."""
+    pfm = prev_feat_mp if has_prev else None
+    pan = prev_angle if has_prev else None
+    feats_a, uv_a, ns_a, fmp_a, Hp_a, fv_a, traj_a, sum_a = _vi_frame_body(
+        m, img_a, rawp_a, cam, ext, noise, ns_last, gw, prior_last, pfm, pan,
+        anchor_slot, dt_a, fresh_prior_fb, sigma_bg, sigma_ba,
+        n_features, n_levels, iters, rtol, fb_min_inliers)
+    prior_b = ba_vi.PriorFactor(cam=jnp.asarray(0, jnp.int32), ns0=ns_a,
+                                info=Hp_a,
+                                valid=jnp.asarray(1.0, jnp.float32))
+    feats_b, uv_b, ns_b, fmp_b, Hp_b, fv_b, traj_b, sum_b = _vi_frame_body(
+        m, img_b, rawp_b, cam, ext, noise, ns_a, gw, prior_b, fmp_a,
+        feats_a.angle, anchor_slot, dt_b, fresh_prior_fb, sigma_bg, sigma_ba,
+        n_features, n_levels, iters, rtol, fb_min_inliers)
+    summary2 = jnp.stack([sum_a, sum_b])
+    return (feats_a, uv_a, fmp_a, ns_a, traj_a,
+            feats_b, uv_b, fmp_b, ns_b, traj_b,
+            Hp_b, m.mp_found + fv_a + fv_b, m.mp_visible + fv_a + fv_b,
+            summary2)
 
 
 @partial(jax.jit,
