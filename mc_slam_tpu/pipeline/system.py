@@ -183,7 +183,7 @@ class SlamSystem:
         # frames fused per dispatch post-VI-init (frame_pipeline_vi_pair):
         # the steady frame rate is tunnel-round-trips-per-frame bound
         self.PAIR = int(_os.environ.get("MC_SLAM_PAIR", "2"))
-        self._pair_buf: dict | None = None
+        self._pair_buf: list | None = None
         # deferred tail of the last keyframe event (stats + loop detection)
         self._deferred_event: dict | None = None
         # in-flight Sim3 RANSAC batch for loop candidates (_harvest_sim3)
@@ -411,33 +411,37 @@ class SlamSystem:
                 self._cur_feat_mp)
 
     def _pair_push(self, img, t):
-        """Frame pairing (PAIR=2): buffer one VI frame; dispatch BOTH frames
-        as ONE fused device program on the next (frame_pipeline_vi_pair).
-        Every dispatch->result round trip through a remote-attached chip is
-        ~25 ms against ~2 ms of device compute, so round trips per frame —
-        not compute — set the steady frame rate; pairing halves them."""
+        """N-frame fusion (PAIR=N): buffer VI frames; dispatch all N as ONE
+        fused device program on the Nth (frame_pipeline_vi_pair). Every
+        dispatch->result round trip through a remote-attached chip is ~25 ms
+        against ~2 ms of device compute per frame, so round trips per frame
+        — not compute — set the steady frame rate; N-frame fusion divides
+        them by N."""
         rawp = self._capture_imu_frame()
         dt_f = np.float32(max(t - self.last_time, 1e-3))
         if self._pair_buf is None:
-            self._pair_buf = dict(img=img, t=t, rawp=rawp, dt=dt_f,
-                                  fid=self.frame_id,
-                                  backup=self._state_backup())
-            return
-        buf = self._pair_buf
-        self._pair_buf = None
-        self._dispatch_frame_vi_pair(buf, img, t, rawp, dt_f)
+            self._pair_buf = []
+        self._pair_buf.append(dict(img=img, t=t, rawp=rawp, dt=dt_f,
+                                   fid=self.frame_id,
+                                   backup=(self._state_backup()
+                                           if not self._pair_buf else None)))
+        if len(self._pair_buf) >= self.PAIR:
+            bufs = self._pair_buf
+            self._pair_buf = None
+            self._dispatch_frame_vi_pair(bufs)
 
     def _flush_pair_buf(self):
-        """Dispatch a buffered half-pair as a single frame (drain path)."""
-        buf = getattr(self, "_pair_buf", None)
-        if buf is None:
+        """Dispatch buffered sub-batch frames singly (drain path)."""
+        bufs = getattr(self, "_pair_buf", None)
+        if not bufs:
+            self._pair_buf = None
             return
         self._pair_buf = None
-        self._dispatch_frame_vi(buf["img"], buf["t"], rawp=buf["rawp"],
-                                dt_f=buf["dt"], fid=buf["fid"],
-                                backup=buf["backup"])
+        for buf in bufs:
+            self._dispatch_frame_vi(buf["img"], buf["t"], rawp=buf["rawp"],
+                                    dt_f=buf["dt"], fid=buf["fid"])
 
-    def _dispatch_frame_vi_pair(self, buf, img_b, t_b, rawp_b, dt_b):
+    def _dispatch_frame_vi_pair(self, bufs):
         cfg = self.cfg
         if self.prior is None:
             self.prior = ba_vi.PriorFactor(
@@ -446,41 +450,41 @@ class SlamSystem:
         pfm, pan = (self._prev_match if self._prev_match is not None
                     else (self._zero_fmp, self._zero_ang))
         k, kid = self._anchor_slot()
-        (feats_a, uv_a, fmp_a, ns_a, traj_a,
-         feats_b, uv_b, fmp_b, ns_b, traj_b,
-         Hp_b, mp_found, mp_vis, summary2) = tracking.frame_pipeline_vi_pair(
-            self.m, buf["img"], img_b, buf["rawp"], rawp_b, self.cam,
+        imgs = tuple(b["img"] for b in bufs)
+        rawps = np.stack([b["rawp"] for b in bufs])
+        dts = np.asarray([b["dt"] for b in bufs], np.float32)
+        (frames, Hp_last, mp_found, mp_vis,
+         summary) = tracking.frame_pipeline_vi_pair(
+            self.m, imgs, rawps, self.cam,
             self.ext, self.noise, self.last_ns, self.gw, self.prior, pfm,
-            pan, np.int32(max(k, 0)), buf["dt"], dt_b, self._fresh_fb,
+            pan, np.int32(max(k, 0)), dts, self._fresh_fb,
             sigma_bg=float(self.noise.sigma_bg),
             sigma_ba=float(self.noise.sigma_ba),
             n_features=cfg.n_feat, n_levels=cfg.n_levels,
             rtol=cfg.track_rtol, has_prev=self._prev_match is not None)
         try:
-            summary2.copy_to_host_async()
+            summary.copy_to_host_async()
         except Exception:
             pass
-        backup = buf["backup"]
-        self.last_ns = ns_b
-        self.last_pose = (ns_b.P, ns_b.R)
-        self.prior = ba_vi.PriorFactor(cam=self._c0i, ns0=ns_b, info=Hp_b,
+        feats_z, uv_z, fmp_z, ns_z, _ = frames[-1]
+        self.last_ns = ns_z
+        self.last_pose = (ns_z.P, ns_z.R)
+        self.prior = ba_vi.PriorFactor(cam=self._c0i, ns0=ns_z, info=Hp_last,
                                        valid=self._c1f)
-        self._cur_feat_mp = fmp_b
-        self._prev_match = (fmp_b, feats_b.angle)
+        self._cur_feat_mp = fmp_z
+        self._prev_match = (fmp_z, feats_z.angle)
         self.m = self.m._replace(mp_found=mp_found, mp_visible=mp_vis)
-        self.last_feats = feats_b
-        row_a = len(self.traj.meta)
-        self.traj.append(traj_a, buf["t"], k, kid)
-        self.traj.append(traj_b, t_b, k, kid)
+        self.last_feats = feats_z
+        row_0 = len(self.traj.meta)
+        for b, (feats, uv, fmp, ns, traj) in zip(bufs, frames):
+            self.traj.append(traj, b["t"], k, kid)
         self._pendings.append(dict(
-            mode="vi2", row=row_a, summary=summary2, backup=backup,
-            epoch=self._map_epoch,
-            frames=(dict(feats=feats_a, uv=uv_a, t=buf["t"],
-                         frame_id=buf["fid"], feat_mp=fmp_a,
-                         pose=(ns_a.P, ns_a.R), ns=ns_a),
-                    dict(feats=feats_b, uv=uv_b, t=t_b,
-                         frame_id=self.frame_id, feat_mp=fmp_b,
-                         pose=(ns_b.P, ns_b.R), ns=ns_b))))
+            mode="vi2", row=row_0, summary=summary,
+            backup=bufs[0]["backup"], epoch=self._map_epoch,
+            frames=tuple(
+                dict(feats=feats, uv=uv, t=b["t"], frame_id=b["fid"],
+                     feat_mp=fmp, pose=(ns.P, ns.R), ns=ns)
+                for b, (feats, uv, fmp, ns, _) in zip(bufs, frames))))
 
     def _dispatch_frame_vi(self, img, t, rawp=None, dt_f=None, fid=None,
                            backup=None):
@@ -575,9 +579,9 @@ class SlamSystem:
         self.n_lost_frames += sum(2 if q["mode"] == "vi2" else 1
                                   for q in self._pendings)
         self._pendings.clear()
-        if self._pair_buf is not None:
-            self.n_lost_frames += 1
-            self._pair_buf = None
+        if self._pair_buf:
+            self.n_lost_frames += len(self._pair_buf)
+        self._pair_buf = None
         if p.get("epoch") != self._map_epoch:
             # a keyframe event / closure / VI init re-seated the tracking
             # state after this frame was dispatched: the dispatch-time backup
@@ -714,7 +718,7 @@ class SlamSystem:
                 self._rollback_pending(p)
                 self._prev_match = None
                 self.state = LOST
-                self.n_lost_frames += 2 - i
+                self.n_lost_frames += len(p["frames"]) - i
                 self.events.append((fr["frame_id"], "lost",
                                     dict(mode="vi2", n_in=n_in)))
                 return

@@ -393,46 +393,51 @@ def frame_pipeline_vi(m: MapState, img, rawp, cam: Camera,
 @partial(jax.jit,
          static_argnames=("n_features", "n_levels", "iters", "rtol",
                           "has_prev"))
-def frame_pipeline_vi_pair(m: MapState, img_a, img_b, rawp_a, rawp_b,
-                           cam: Camera, ext: factors.Extrinsics, noise,
+def frame_pipeline_vi_pair(m: MapState, imgs, rawps, cam: Camera,
+                           ext: factors.Extrinsics, noise,
                            ns_last, gw, prior_last: ba_vi.PriorFactor,
-                           prev_feat_mp, prev_angle, anchor_slot, dt_a, dt_b,
+                           prev_feat_mp, prev_angle, anchor_slot, dts,
                            fresh_prior_fb, sigma_bg=2e-5, sigma_ba=5e-3,
                            n_features=1024, n_levels=8, iters: int = 20,
                            rtol: float = 0.0, has_prev: bool = True,
                            fb_min_inliers=20):
-    """TWO consecutive VI frames fused into ONE dispatch, frame B chained
-    in-graph on frame A's state (pose, marginal prior, previous-frame match
-    table, angles). Through a remote-attached chip every dispatch->result
-    round trip costs ~25 ms regardless of the ~2 ms of device compute, so
-    the steady-state frame rate is round-trips-per-frame bound: pairing
-    halves it. The reference has no analog (its per-frame cost is CPU
-    compute); this is transport-topology-driven design.
+    """N consecutive VI frames fused into ONE dispatch, each chained in-graph
+    on the previous frame's state (pose, marginal prior, previous-frame
+    match table, angles). Through a remote-attached chip every
+    dispatch->result round trip costs ~25 ms against ~2 ms of device compute
+    per frame, so the steady-state frame rate is round-trips-per-frame
+    bound: N-frame fusion divides them by N. The reference has no analog
+    (its per-frame cost is CPU compute); this is transport-topology-driven
+    design.
 
-    Outputs are per-frame TUPLES (separate device buffers — a stacked output
-    would cost slice dispatches at harvest) except the summary, which is one
-    (2, 4) buffer so the host pays a single async copy per pair.
-    Returns (feats_a, uv_a, fmp_a, ns_a, traj_a,
-             feats_b, uv_b, fmp_b, ns_b, traj_b,
-             H_prior_b, mp_found2, mp_vis2, summary2)."""
+    imgs: TUPLE of N images (separate host uploads overlap in flight);
+    rawps: (N, T, 7) raw IMU spans; dts: (N,) frame periods.
+    Outputs are per-frame TUPLES (separate device buffers — a stacked
+    output would cost slice dispatches at harvest) except the summary,
+    which is one (N, 4) buffer so the host pays a single async copy per
+    dispatch. Returns (frames, H_prior_last, mp_found, mp_vis, summary)
+    where frames = tuple of (feats, uv, fmp, ns, traj) per frame."""
     pfm = prev_feat_mp if has_prev else None
     pan = prev_angle if has_prev else None
-    feats_a, uv_a, ns_a, fmp_a, Hp_a, fv_a, traj_a, sum_a = _vi_frame_body(
-        m, img_a, rawp_a, cam, ext, noise, ns_last, gw, prior_last, pfm, pan,
-        anchor_slot, dt_a, fresh_prior_fb, sigma_bg, sigma_ba,
-        n_features, n_levels, iters, rtol, fb_min_inliers)
-    prior_b = ba_vi.PriorFactor(cam=jnp.asarray(0, jnp.int32), ns0=ns_a,
-                                info=Hp_a,
-                                valid=jnp.asarray(1.0, jnp.float32))
-    feats_b, uv_b, ns_b, fmp_b, Hp_b, fv_b, traj_b, sum_b = _vi_frame_body(
-        m, img_b, rawp_b, cam, ext, noise, ns_a, gw, prior_b, fmp_a,
-        feats_a.angle, anchor_slot, dt_b, fresh_prior_fb, sigma_bg, sigma_ba,
-        n_features, n_levels, iters, rtol, fb_min_inliers)
-    summary2 = jnp.stack([sum_a, sum_b])
-    return (feats_a, uv_a, fmp_a, ns_a, traj_a,
-            feats_b, uv_b, fmp_b, ns_b, traj_b,
-            Hp_b, m.mp_found + fv_a + fv_b, m.mp_visible + fv_a + fv_b,
-            summary2)
+    ns = ns_last
+    prior = prior_last
+    fv_tot = None
+    outs = []
+    sums = []
+    for i in range(len(imgs)):
+        feats, uv, ns, fmp, Hp, fv, traj, s = _vi_frame_body(
+            m, imgs[i], rawps[i], cam, ext, noise, ns, gw, prior, pfm, pan,
+            anchor_slot, dts[i], fresh_prior_fb, sigma_bg, sigma_ba,
+            n_features, n_levels, iters, rtol, fb_min_inliers)
+        prior = ba_vi.PriorFactor(cam=jnp.asarray(0, jnp.int32), ns0=ns,
+                                  info=Hp,
+                                  valid=jnp.asarray(1.0, jnp.float32))
+        pfm, pan = fmp, feats.angle
+        fv_tot = fv if fv_tot is None else fv_tot + fv
+        outs.append((feats, uv, fmp, ns, traj))
+        sums.append(s)
+    return (tuple(outs), prior.info, m.mp_found + fv_tot,
+            m.mp_visible + fv_tot, jnp.stack(sums))
 
 
 @partial(jax.jit,

@@ -37,6 +37,31 @@ class VIInitResult(NamedTuple):
     cond: jnp.ndarray      # (6,) singular values of C (condition diagnostics)
 
 
+def _masked_lls(A, b, with_sv=False, rel_eps=1e-7):
+    """Least squares via the normal equations (A^T A) x = A^T b.
+
+    Replaces jnp.linalg.lstsq (SVD-backed) in the init solves: the SVD of a
+    bucket-PADDED system [A; 0] is not bit-identical to the unpadded one
+    under XLA (observed: a padded window flipped the gravity-refinement
+    rotation on the multi-device CPU backend), while the normal equations
+    are exactly padding-invariant — zero rows contribute exactly zero to
+    A^T A and A^T b. The systems are tiny (<= 6 columns) and gated on
+    conditioning by the caller, so the squared condition number is
+    acceptable; a trace-relative Tikhonov floor bounds the worst case.
+    with_sv: also return the singular values of A (from eigvalsh(A^T A),
+    descending — the caller's condition diagnostics, lstsq-compatible)."""
+    AtA = A.T @ A
+    Atb = A.T @ b
+    n = AtA.shape[0]
+    eps = rel_eps * jnp.trace(AtA) / n
+    x = jnp.linalg.solve(AtA + eps * jnp.eye(n, dtype=A.dtype), Atb)
+    if not with_sv:
+        return x
+    ev = jnp.linalg.eigvalsh(AtA)
+    sv = jnp.sqrt(jnp.maximum(ev[::-1], 0.0))
+    return x, sv
+
+
 def estimate_gyro_bias(Rwb, pre: PreintState, valid_pair, iters: int = 5):
     """Gyro bias from relative rotations of consecutive keyframes.
 
@@ -105,7 +130,7 @@ def estimate_scale_gravity(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb):
         (jnp.broadcast_to(beta[:, :, None] * jnp.eye(3), (K, 3, 3)) * m[:, :, None]).reshape(3 * K, 3),
     ], axis=1)
     B = (gam * m).reshape(3 * K)
-    x, *_ = jnp.linalg.lstsq(A, B)
+    x = _masked_lls(A, B)
     return x[0], x[1:4]
 
 
@@ -148,7 +173,7 @@ def refine_gravity_accbias(Pwc, Rwc, pre: PreintState, valid_pair, Rcb, pcb,
         (zeta * m[:, :, None]).reshape(3 * K, 3),
     ], axis=1)
     D = (psi * m).reshape(3 * K)
-    y, _, _, sv = jnp.linalg.lstsq(C, D)
+    y, sv = _masked_lls(C, D, with_sv=True)
     s = y[0]
     dtheta = jnp.concatenate([y[1:3], jnp.zeros(1, dtype)])
     ba = y[3:6]
