@@ -225,9 +225,23 @@ def main():
             sub["e2e_stage_ms"] = e2e.get("stage_ms", {})
             sub["e2e_frames"] = e2e["frames"]
             sub["e2e_n_lost"] = e2e.get("n_lost")
+            # accuracy FROM THIS LIVE RUN (r4 verdict: cached-artifact ATE
+            # would hide a live regression) + dataset provenance
+            sub["ate_clone_rmse_m"] = e2e.get("ate_rmse")
+            sub["ate_clone_rmse_post_init_m"] = e2e.get("ate_rmse_post_init")
+            sub["ate_clone_frames"] = e2e.get("frames")
+            sub["ate_clone_profile"] = e2e.get("profile")
+            sub["ate_clone_loops"] = e2e.get("loops_closed")
+            if e2e.get("ate_scale") is not None:
+                sub["ate_clone_abs_scale_err"] = round(
+                    abs(1.0 - e2e["ate_scale"]), 4)
+            sub["ate_clone_dataset"] = e2e.get("dataset", "")
+            sub["ate_clone_dataset_hash"] = e2e.get("dataset_hash", "")
+            sub["ate_clone_commit"] = e2e.get("commit", "")
             print(f"# e2e on-device ({e2e['frames']} frames): "
                   f"{e2e['e2e_fps_amortized']:.1f} fps amortized "
                   f"({e2e.get('e2e_fps_warm', -1):.1f} warm), "
+                  f"ate {e2e.get('ate_rmse')}, "
                   f"stages {e2e.get('stage_ms')}", file=sys.stderr)
         except Exception as err:
             print(f"# e2e bench skipped: {err}", file=sys.stderr)
@@ -244,32 +258,32 @@ def main():
     except Exception as err:
         print(f"# scaling bench skipped: {err}", file=sys.stderr)
 
-    # end-to-end accuracy on the full-scale synthetic EuRoC clone: produced by
-    # examples/eval_clone.py over examples/make_euroc_clone.py output (the
-    # euroc profile: 752x480, 1024 feat, 8 levels, 512 KF / 16k MP, VI) and
-    # recorded in artifacts/ — reproducible offline; too long for the bench's
-    # time budget
-    art = os.path.join(os.path.dirname(__file__), "artifacts")
-    for name, tag in (("ate_clone_euroc.json", "euroc"),
-                      ("ate_clone_mid.json", "mid"),
-                      ("ate_clone.json", "")):
-        ate_path = os.path.join(art, name)
-        if os.path.exists(ate_path):
-            with open(ate_path) as f:
-                ate = json.load(f)
-            sub["ate_clone_rmse_m"] = ate.get("ate_rmse")
-            sub["ate_clone_rmse_post_init_m"] = ate.get("ate_rmse_post_init")
-            sub["ate_clone_frames"] = ate.get("frames")
-            sub["ate_clone_profile"] = ate.get("profile", tag)
-            sub["ate_clone_loops"] = ate.get("loops_closed")
-            # monocular-VI scale drift regression metric: Sim3-aligned scale
-            # must stay ~1 in a metric VI system (RMSE after alignment hides it)
-            if ate.get("ate_scale") is not None:
-                sub["ate_clone_abs_scale_err"] = round(
+    # fallback ONLY when the live e2e run could not execute (cpu platform /
+    # disabled): cached-artifact accuracy, explicitly labeled as such —
+    # BENCH_r4 silently reported stale artifact ATE as if live (r4 verdict)
+    if e2e_fps is None:
+        art = os.path.join(os.path.dirname(__file__), "artifacts")
+        for name, tag in (("ate_clone_euroc.json", "euroc"),
+                          ("ate_clone_mid.json", "mid"),
+                          ("ate_clone.json", "")):
+            ate_path = os.path.join(art, name)
+            if os.path.exists(ate_path):
+                with open(ate_path) as f:
+                    ate = json.load(f)
+                sub["ate_clone_rmse_m"] = ate.get("ate_rmse")
+                sub["ate_clone_rmse_post_init_m"] = ate.get("ate_rmse_post_init")
+                sub["ate_clone_frames"] = ate.get("frames")
+                sub["ate_clone_profile"] = ate.get("profile", tag)
+                sub["ate_clone_loops"] = ate.get("loops_closed")
+                sub["ate_clone_abs_scale_err"] = (round(
                     abs(1.0 - ate["ate_scale"]), 4)
-            print(f"# clone ATE (precomputed, see artifacts/): {ate}",
-                  file=sys.stderr)
-            break
+                    if ate.get("ate_scale") is not None else None)
+                sub["ate_clone_provenance"] = (
+                    f"CACHED artifact {name} @ commit "
+                    f"{ate.get('commit', '?')} — live e2e run unavailable")
+                print(f"# clone ATE (CACHED artifact, live run unavailable): "
+                      f"{ate_path}", file=sys.stderr)
+                break
     # HEADLINE: the amortized end-to-end pipeline rate (full SlamSystem on the
     # euroc-profile clone: tracking + local mapping + loop closing + VI init,
     # every keyframe-rate stall included). The reference's bar is its 20 fps

@@ -26,12 +26,34 @@ TBC = np.array([
     [0.0, 0.0, 0.0, 1.0]], np.float32)
 
 
+# per-profile dataset generation (make_euroc_clone.py args): the robustness
+# envelope mirrors config/euroc.yaml:18-20's sequence-quality spread —
+#   euroc/mid/small: the baseline MH-easy-like circuit;
+#   loops: 3 laps of the circuit with 8x IMU noise + reduced feature budget
+#          (degraded odometry -> real accumulated drift; each revisit is a
+#          closure opportunity — MH_03-medium analog);
+#   hard:  2 laps at 2x speed, 1.6x yaw sweep, 25 ms blur, 0.55x contrast
+#          (fast-rotation/low-texture stress — V1_03-difficult analog; the
+#          gate is survival/relocalization, not accuracy).
+PROFILE_GEN = {
+    "loops": ["--laps", "3", "--imu-noise-scale", "8"],
+    "hard": ["--laps", "2", "--yaw-scale", "1.6", "--blur-ms", "25",
+             "--tex-contrast", "0.55"],
+}
+PROFILE_DATASET = {
+    "loops": "/tmp/euroc_clone_loops",
+    "hard": "/tmp/euroc_clone_hard",
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="/tmp/euroc_clone")
+    ap.add_argument("--dataset", default="")
     ap.add_argument("--duration", type=float, default=120.0)
     ap.add_argument("--max-frames", type=int, default=0)
-    ap.add_argument("--profile", choices=["euroc", "mid", "small"], default="euroc")
+    ap.add_argument("--profile",
+                    choices=["euroc", "mid", "small", "loops", "hard"],
+                    default="euroc")
     ap.add_argument("--platform", default="",
                     help="jax platform override; empty = device default (TPU when present). Pass cpu for offline runs.")
     ap.add_argument("--final-gba", action="store_true",
@@ -52,6 +74,8 @@ def main():
     ap.add_argument("--no-loops", action="store_true",
                     help="disable loop closing (drift diagnosis)")
     args = ap.parse_args()
+    if not args.dataset:
+        args.dataset = PROFILE_DATASET.get(args.profile, "/tmp/euroc_clone")
 
     mav0 = os.path.join(args.dataset, "mav0")
     if not os.path.exists(os.path.join(mav0, "cam0", "data.csv")):
@@ -60,7 +84,8 @@ def main():
                                os.path.join(os.path.dirname(__file__),
                                             "make_euroc_clone.py"),
                                "--out", args.dataset,
-                               "--duration", str(args.duration)])
+                               "--duration", str(args.duration)]
+                              + PROFILE_GEN.get(args.profile, []))
 
     import jax
     if args.platform:
@@ -83,8 +108,15 @@ def main():
     from mc_slam_tpu.pipeline.system import SlamConfig, SlamSystem
 
     cam = euroc_camera()
-    if args.profile == "euroc":
+    if args.profile in ("euroc", "hard"):
         cfg = SlamConfig(max_kf=512, max_mp=16384, n_feat=1024, n_levels=8,
+                         local_window=20, use_imu=True, vi_init_time=15.0,
+                         g_mag=9.810)
+    elif args.profile == "loops":
+        # degraded odometry on purpose: half the feature budget, so visual
+        # constraints are weaker and the 8x IMU noise actually accumulates
+        # into closable drift
+        cfg = SlamConfig(max_kf=512, max_mp=16384, n_feat=512, n_levels=4,
                          local_window=20, use_imu=True, vi_init_time=15.0,
                          g_mag=9.810)
     elif args.profile == "mid":
@@ -234,9 +266,36 @@ def main():
                          ).stdout.strip()
     except Exception:
         commit = ""
+    # dataset provenance: which instance this run actually consumed (r4
+    # verdict: the 13.05-vs-15.7 fps gap had no record of the dataset used).
+    # Hash = image csv + imu csv + first/last image bytes (fast, captures
+    # regeneration with different seeds/params).
+    import hashlib
+    h = hashlib.sha256()
+    try:
+        for rel in ("cam0/data.csv", "imu0/data.csv"):
+            with open(os.path.join(mav0, rel), "rb") as f:
+                h.update(f.read())
+        img_dir = os.path.join(mav0, "cam0", "data")
+        imgs = sorted(os.listdir(img_dir))
+        for nm in (imgs[0], imgs[-1]):
+            with open(os.path.join(img_dir, nm), "rb") as f:
+                h.update(f.read())
+        dataset_hash = h.hexdigest()[:16]
+    except Exception:
+        dataset_hash = ""
+    # longest lost->relocalized span (the hard-profile robustness metric:
+    # "not lost, or relocalizes within N frames")
+    lost_ev = [f for f, k, _ in slam.events if k == "lost"]
+    reloc_ev = [f for f, k, _ in slam.events if k == "reloc"]
+    streaks = [min([r for r in reloc_ev if r >= f], default=n) - f
+               for f in lost_ev]
     result = {
         "frames": n,
         "n_lost": int(slam.n_lost_frames),
+        "n_relocs": len(reloc_ev),
+        "max_lost_streak": int(max(streaks, default=0)),
+        "tracking_finished_ok": bool(slam.state == 2),
         "keyframes": len(slam.kf_slots),
         "map_points": int(slam.m.mp_active.sum()),
         "vi_inited": bool(slam.vi_inited),
@@ -261,6 +320,8 @@ def main():
         "profile": args.profile,
         "duration_s": args.duration,
         "commit": commit,
+        "dataset": os.path.abspath(args.dataset),
+        "dataset_hash": dataset_hash,
         "n_compiles": ncomp,
         "stage_ms": {k: round(v["median_ms"], 2) for k, v in stages.items()},
         "drift": drift,
@@ -283,14 +344,27 @@ def main():
         import jax as _jax
         on_accel = _jax.devices()[0].platform != "cpu"
         fails = []
-        if result["ate_rmse_post_init"] > args.gate_ate:
-            fails.append(f"ate_rmse_post_init {result['ate_rmse_post_init']:.3f}"
-                         f" > {args.gate_ate}")
-        if result["abs_scale_err"] > args.gate_scale:
-            fails.append(f"abs_scale_err {result['abs_scale_err']:.4f}"
-                         f" > {args.gate_scale}")
-        if result["n_lost"] > args.gate_lost:
-            fails.append(f"n_lost {result['n_lost']} > {args.gate_lost}")
+        if args.profile == "hard":
+            # survival gate (V1_03 analog, config/euroc.yaml:18-20): never
+            # permanently lost — every loss must relocalize within 5 s
+            if result["max_lost_streak"] > 100:
+                fails.append(f"max_lost_streak {result['max_lost_streak']}"
+                             f" > 100 frames")
+            if not result["tracking_finished_ok"]:
+                fails.append("tracking did not finish in OK state")
+        else:
+            if result["ate_rmse_post_init"] > args.gate_ate:
+                fails.append(
+                    f"ate_rmse_post_init {result['ate_rmse_post_init']:.3f}"
+                    f" > {args.gate_ate}")
+            if result["abs_scale_err"] > args.gate_scale:
+                fails.append(f"abs_scale_err {result['abs_scale_err']:.4f}"
+                             f" > {args.gate_scale}")
+            if result["n_lost"] > args.gate_lost:
+                fails.append(f"n_lost {result['n_lost']} > {args.gate_lost}")
+        if args.profile == "loops" and not args.no_loops \
+                and result["loops_closed"] < 1:
+            fails.append("loops_closed 0 on the multi-lap drift profile")
         if on_accel and result["e2e_fps_amortized"] < args.gate_fps:
             fails.append(f"e2e_fps {result['e2e_fps_amortized']:.1f}"
                          f" < {args.gate_fps}")

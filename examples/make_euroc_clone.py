@@ -61,6 +61,20 @@ def main():
                     default=True)
     ap.add_argument("--blur-ms", type=float, default=12.0,
                     help="exposure window for motion blur [ms]")
+    # --- robustness-envelope knobs (V1_02/MH_04-class profiles) ---
+    ap.add_argument("--laps", type=int, default=1,
+                    help="trajectory laps over the duration: the closed path "
+                         "repeats N times (N-1 guaranteed revisits for loop "
+                         "closure) and motion speed scales by N")
+    ap.add_argument("--imu-noise-scale", type=float, default=1.0,
+                    help="multiply the EuRoC noise densities (degraded "
+                         "odometry -> real accumulated drift)")
+    ap.add_argument("--yaw-scale", type=float, default=1.0,
+                    help="scale the yaw-sweep amplitude (fast-rotation "
+                         "stress, V1_03 analog)")
+    ap.add_argument("--tex-contrast", type=float, default=1.0,
+                    help="texture contrast multiplier (<1 = low-texture "
+                         "stress)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +87,11 @@ def main():
     cam = euroc_camera()
     world = RoomWorld(rng, tex_size=args.tex_size,
                       tex_scale=args.tex_scale)
-    traj = MavTrajectory(duration=args.duration)
+    # laps > 1: the closed path's period is duration/laps, so the MAV re-flies
+    # the same circuit (each revisit is a loop-closure opportunity, like the
+    # repeated machine-hall passes of EuRoC MH sequences) at laps-x speed
+    traj = MavTrajectory(duration=args.duration / max(args.laps, 1),
+                         yaw_scale=args.yaw_scale)
     writer = EurocWriter(args.out)
     bg = np.asarray(args.bg)
     ba = np.asarray(args.ba)
@@ -100,6 +118,12 @@ def main():
             P2, R2 = traj.pose(t + args.blur_ms * 1e-3)
             img2 = world.render(cam, R2 @ Rbc, P2 + R2 @ pbc)
             img = 0.5 * img.astype(np.float32) + 0.5 * img2.astype(np.float32)
+        if args.tex_contrast != 1.0:
+            img = np.clip(118.0 + args.tex_contrast
+                          * (np.asarray(img, np.float32) - 118.0),
+                          0, 255).astype(np.float32 if args.harden
+                                         else np.uint8)
+        if args.harden:
             # auto-exposure / lighting flicker
             gain = (1.0 + 0.12 * np.sin(2 * np.pi * 0.9 * t + 0.7)
                     + rng.normal(0.0, 0.02))
@@ -120,7 +144,8 @@ def main():
             print(f"frame {i}/{n_frames}  ({el:.0f}s elapsed)", file=sys.stderr)
     # IMU over the whole span (EuRoC noise densities, src/IMU/imudata.cpp)
     rows = traj.imu_samples(0.0, n_frames * fdt, rate=200.0, bg=bg, ba=ba,
-                            noise_g=1.7e-4, noise_a=2e-3, rng=rng)
+                            noise_g=1.7e-4 * args.imu_noise_scale,
+                            noise_a=2e-3 * args.imu_noise_scale, rng=rng)
     tt = t_off + np.arange(len(rows)) / 200.0
     for k in range(len(rows)):
         writer.add_imu(tt[k], rows[k, 0:3], rows[k, 3:6])

@@ -73,6 +73,15 @@ def save_system(path, sys):
         "state": sys.state,
         "kf_imu_raw": {str(k): v.tolist() for k, v in sys.kf_imu_raw.items()},
         "bow_hists_nonzero": [int(s) for s in sys.kf_slots],
+        # accepted-closure topology (ADVICE r4): essential-graph re-inclusion
+        # and cull/evict protection must survive resume, or the next closure
+        # can re-open healed seams
+        "loop_edges": [[int(a), int(b)] for a, b in sys.loop_edges],
+        "n_loops_closed": sys.n_loops_closed,
+        "broken_chain_slots": [int(s) for s in sys.broken_chain_slots],
+        "free_slots": list(sys.free_slots),
+        "next_fresh_slot": sys.next_fresh_slot,
+        "hist_ids": {str(k): int(v) for k, v in sys.loop.hist_ids.items()},
     }
     save_map(path, sys.m, extra)
     # BoW histograms saved alongside (dense rows for active slots only)
@@ -98,6 +107,14 @@ def load_system(path, sys):
     sys.state = extra["state"]
     sys.kf_imu_raw = {int(k): np.asarray(v, np.float32)
                       for k, v in extra["kf_imu_raw"].items()}
+    sys.loop_edges = [tuple(e) for e in extra.get("loop_edges", [])]
+    sys.n_loops_closed = extra.get("n_loops_closed", 0)
+    sys.broken_chain_slots = set(extra.get("broken_chain_slots", []))
+    sys.free_slots = list(extra.get("free_slots", []))
+    sys.next_fresh_slot = extra.get(
+        "next_fresh_slot", (max(sys.kf_slots) + 1) if sys.kf_slots else 0)
+    sys.loop.hist_ids = {int(k): int(v)
+                         for k, v in extra.get("hist_ids", {}).items()}
     try:
         bow = np.load(str(path) + ".bow.npz")
         sys.loop.hists = jnp.asarray(bow["hists"])

@@ -50,13 +50,25 @@ class LoopDetector:
         # [(covisibility group frozenset, consistency count)] carried between
         # keyframes (mvConsistentGroups, src/LoopClosing.cpp:174-269)
         self.consistent_groups: list[tuple[frozenset, int]] = []
+        # slot -> kf id of the histogram occupant (host mirror): detection is
+        # deferred (dispatch -> harvest frames later), and a slot recycled in
+        # between still carries the evicted KF's histogram — its score must
+        # not be attributed to the new occupant (ADVICE r4)
+        self.hist_ids: dict[int, int] = {}
+        self._dispatch_ids: dict[int, int] | None = None
 
-    def add_keyframe(self, slot, desc_pm1, valid):
+    def add_keyframe(self, slot, desc_pm1, valid, kf_id=None):
         h = bow.bow_histogram(desc_pm1, valid, self.vocab)
         self.hists = self.hists.at[slot].set(h)
+        if kf_id is not None:
+            self.hist_ids[int(slot)] = int(kf_id)
 
     def detect_dispatch(self, m: MapState, slot):
-        """Dispatch the device half; returns handles to harvest later."""
+        """Dispatch the device half; returns handles to harvest later. At most
+        one detect is in flight (the caller force-drains the previous event
+        before dispatching), so the dispatch-time slot->id snapshot lives on
+        the detector."""
+        self._dispatch_ids = dict(self.hist_ids)
         return _detect_device(m, self.hists, jnp.asarray(slot, jnp.int32))
 
     def detect(self, m: MapState, slot, kf_slots, kf_ids=None, min_gap=10,
@@ -91,10 +103,19 @@ class LoopDetector:
         # exclusion mirrors the reference's connected-set test
         # (GetConnectedKeyFrames, weight >= 15 per UpdateConnections): a
         # weight-1 accidental fuse association must not veto a true revisit
+        # drop slots whose histogram occupant changed between dispatch and
+        # harvest (recycled slot: the score belongs to the evicted KF)
+        snap = self._dispatch_ids
+
+        def fresh(k):
+            cur = self.hist_ids.get(k)
+            if snap is None or cur is None:
+                return True      # no registration info for this slot
+            return snap.get(k) == cur
         cands = [k for k in kf_slots
                  if k != slot and covis[k] < 15
                  and abs(kf_ids[slot] - kf_ids[k]) >= min_gap
-                 and scores[k] >= max(min_score, 0.05)]
+                 and scores[k] >= max(min_score, 0.05) and fresh(k)]
         if not cands:
             self.consistent_groups = []
             return []
@@ -211,13 +232,20 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
 
     # edges: sequential chain (spanning tree), then the full essential graph
     ei, ej, ew = [], [], []
-    seen = set()
+    seen = {}
 
     def add_edge(a, b, w=1.0):
         key = (min(a, b), max(a, b))
-        if a == b or key in seen:
+        if a == b:
             return
-        seen.add(key)
+        if key in seen:
+            # duplicate pair: keep the single edge, upgraded to the max
+            # weight (a healed-seam pair that is also covisibility-connected
+            # must stay a strong edge, never a double one)
+            i = seen[key]
+            ew[i] = max(ew[i], w)
+            return
+        seen[key] = len(ei)
         ei.append(a); ej.append(b); ew.append(w)
 
     for a, b in zip(range(K - 1), range(1, K)):
@@ -245,10 +273,13 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
     # (observed: a mid-run map warp + relocalization storm). The persistence
     # is topological — the strong edge keeps later optimizations from
     # re-distributing their corrections across an already-healed seam.
+    # routed through add_edge's `seen` dedup (ADVICE r4): a re-closure of the
+    # same pair after the cooldown must not accumulate duplicate 5.0-weight
+    # edges and progressively over-stiffen that seam
     for e in (loop_edges or []):
         a, b = e[0], e[1]
         if a in idx_of and b in idx_of and a != b:
-            ei.append(idx_of[a]); ej.append(idx_of[b]); ew.append(5.0)
+            add_edge(idx_of[a], idx_of[b], w=5.0)
     i_loop, i_cur = idx_of[slot_loop], idx_of[slot_cur]
     n_edges = len(ei)
     Ep = max(64, int(np.ceil((n_edges + 1) / 32)) * 32)

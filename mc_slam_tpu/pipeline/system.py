@@ -188,6 +188,8 @@ class SlamSystem:
         self._deferred_event: dict | None = None
         # in-flight Sim3 RANSAC batch for loop candidates (_harvest_sim3)
         self._deferred_sim3: dict | None = None
+        # in-flight guided-verification count (_harvest_verify)
+        self._deferred_verify: dict | None = None
         self._map_epoch = 0
         self.n_lost_frames = 0
         # diagnostic event log: (frame_id, kind, detail) — closures, losses,
@@ -611,6 +613,7 @@ class SlamSystem:
             self._flush_pair_buf()
         self._harvest_event(force=drain)
         self._harvest_sim3(force=drain)
+        self._harvest_verify(force=drain)
         # deep pipelining only once VI-initialized: during the visual
         # bootstrap the map is small and keyframes come every few frames —
         # deferring insertion/LOST decisions by LAG_MAX frames there starves
@@ -630,7 +633,11 @@ class SlamSystem:
         cfg = self.cfg
         if p["mode"] == "vi2":
             return self._harvest_pair(p)
-        with self.timers.stage("harvest_pull"):
+        # stall attribution: a pull on a landed copy is ~free; one on a
+        # not-yet-ready summary blocks on the whole in-flight device queue
+        name = ("harvest_pull" if self._summary_ready(p)
+                else "harvest_pull_block")
+        with self.timers.stage(name):
             s = np.asarray(p["summary"])
         n_in = int(s[0])
         if p["mode"] == "vi":
@@ -682,6 +689,13 @@ class SlamSystem:
                 row = self._traj_row_jit(self.m, res2.P, res2.R,
                                          jnp.asarray(max(k, 0), jnp.int32))
                 self.traj.replace_at(p["row"], row)
+                # the pending's dispatch-time snapshot holds the REJECTED
+                # motion-model result; a keyframe created below must carry
+                # the fallback solution (pose + associations), not the bad
+                # one (ADVICE r4: map corruption exactly when the visual
+                # bootstrap is struggling)
+                p["pose"] = (res2.P, res2.R)
+                p["feat_mp"] = res2.feat_mp
         self._cur_inliers = n_in
         if (not self.localization_only
                 and p.get("epoch") == self._map_epoch
@@ -710,7 +724,9 @@ class SlamSystem:
         are rare in VI steady state; the one extra dropped frame is cheaper
         than per-frame backups)."""
         cfg = self.cfg
-        with self.timers.stage("harvest_pull"):
+        name = ("harvest_pull" if self._summary_ready(p)
+                else "harvest_pull_block")
+        with self.timers.stage(name):
             s2 = np.asarray(p["summary"])
         for i, fr in enumerate(p["frames"]):
             n_in = int(s2[i][0])
@@ -761,6 +777,13 @@ class SlamSystem:
                     return
         self._deferred_event = None
         slot = ev["slot"]
+        if "t_disp" in ev:
+            # drain time of the whole keyframe-event device chain (dispatch
+            # of the event's last program -> its stats copy landing): the
+            # frame loop must absorb this much in-flight latency
+            import time as _t
+            self.timers.samples["ev_chain_drain"].append(
+                _t.perf_counter() - ev["t_disp"])
         with self.timers.stage("lm_stats2"):
             covis2, red2, npts2, _, well2 = jax.device_get(ev["stats"])
         if slot in self.kf_slots:
@@ -780,6 +803,8 @@ class SlamSystem:
         self._harvest_pending(drain=True)
         self._harvest_event(force=True)
         self._harvest_sim3(force=True)
+        while self._deferred_verify is not None:
+            self._harvest_verify(force=True)
         self.traj.flush()
 
     # ------------------------------------------------------------------
@@ -1105,7 +1130,7 @@ class SlamSystem:
         if self.first_kf_time is None:
             self.first_kf_time = t_kf
         self.loop.add_keyframe(slot, feats.desc_pm1,
-                               feats.valid.astype(jnp.float32))
+                               feats.valid.astype(jnp.float32), kf_id=fid)
         return slot
 
     # ------------------------------------------------------------------
@@ -1562,8 +1587,10 @@ class SlamSystem:
                 h.copy_to_host_async()
             except Exception:
                 pass
+        import time as _t
         self._deferred_event = {"slot": slot, "stats": stats2,
-                                "detect": detect_h}
+                                "detect": detect_h,
+                                "t_disp": _t.perf_counter()}
         # keep the tracking state synced to the (BA-updated) newest KF
         self.last_pose = self._kf_body_pose(slot)
         if self.vi_inited:
@@ -1898,6 +1925,19 @@ class SlamSystem:
             if self.cfg.use_imu and len(active) > self.cfg.local_window:
                 wfront = len(active) - self.cfg.local_window
                 protected |= {active[wfront], active[wfront - 1]}
+            # recent keyframes are the live triangulation partners: culling
+            # one drops its brand-new points below min_obs and the landmark
+            # cull erases them before they mature — under fast panning this
+            # starves tracking into a loss spiral (r4 regression: the async
+            # event pipeline made culling fire a frame later, exactly when
+            # the next KF's points were 1-observation young). The reference's
+            # equivalent protection is implicit: its redundancy test demands
+            # >= 3 observers AT OR FINER SCALE, which new points near the
+            # sweep head never satisfy (src/LocalMapping.cpp:1777-1914).
+            # Depth 8 (the visual BA window) verified: 4 still spirals on the
+            # fast-pan loop world; culling is only DELAYED until a KF leaves
+            # the window.
+            protected |= set(active[-max(8, self.cfg.ba_window):])
             if first and ratio_all is not None:
                 first = False
             else:
@@ -2084,6 +2124,8 @@ class SlamSystem:
         modes, tests) drain immediately."""
         sync = handles is None
         self._harvest_sim3(force=True)      # at most one in-flight batch
+        while self._deferred_verify is not None:
+            self._harvest_verify(force=True)
         if not self._loop_gates_open():
             return
         act = list(self.kf_slots)
@@ -2124,9 +2166,12 @@ class SlamSystem:
             except Exception:
                 pass
         self._deferred_sim3 = {"slot": slot, "cand_arr": cand_arr,
-                               "n_todo": len(todo), "packed": packed}
+                               "n_todo": len(todo), "packed": packed,
+                               "sync": sync}
         if sync:
             self._harvest_sim3(force=True)
+            while self._deferred_verify is not None:
+                self._harvest_verify(force=True)
 
     def _harvest_sim3(self, force=False):
         """Consume a landed Sim3 RANSAC batch: guided-group gate on a passing
@@ -2156,50 +2201,91 @@ class SlamSystem:
         s_a = packed[:, 2]
         R_a = packed[:, 3:12].reshape(-1, 3, 3)
         t_a = packed[:, 12:15]
-        todo = [(int(cand_arr[i]), None) for i in range(p["n_todo"])]
-        cand, res = -1, None
-        for i in range(len(todo)):
-            if not bool(ok_a[i]):
-                continue
+        passing = []
+        for i in range(p["n_todo"]):
             c = int(cand_arr[i])
-            if c not in self.kf_slots:     # culled since the dispatch
-                continue
-            # guided-reprojection verification over the loop-side
-            # covisibility GROUP (ComputeSim3, LoopClosing.cpp:459-498) —
-            # only for a RANSAC-passing candidate (it is a whole-map
-            # projection search; running it unconditionally in the batch
-            # tripled the per-event cost). The guided gate is what rejects
-            # aliased places: a pairwise Sim3 between two visually similar
-            # spots passes RANSAC with high consensus, but the group's
-            # surrounding geometry does not re-project (base drift without
-            # loops: 5 mm; with unverified closures: 3.6 m, measured).
-            # Groups come from the detection-time covisibility matrix (a
-            # fresh per-candidate row would be a device pull each).
-            W = getattr(self.loop, "last_W", None)
-            if W is not None:
-                wrow = W[c] * self._active_mask()
-                wrow[c] = 0
-                nb = [int(k) for k in np.argsort(-wrow)[:4]
-                      if wrow[k] >= self.cfg.covis_th]
-            else:
-                nb = self._covisible(c, 4)
-            grp = ([c] + nb + [c] * 5)[:5]
-            with self.timers.stage("lc_verify"):
-                n_guided = int(loopclosing.guided_match_count(
-                    self.m, jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(c, jnp.int32), jnp.asarray(grp, jnp.int32),
-                    jnp.asarray(s_a[i]), jnp.asarray(R_a[i]),
-                    jnp.asarray(t_a[i]), self.cam))
-            if n_guided >= 40:
-                from mc_slam_tpu.geometry.sim3solver import Sim3Result
-                cand = c
-                res = Sim3Result(ok=True, s=jnp.asarray(s_a[i]),
-                                 R=jnp.asarray(R_a[i]),
-                                 t=jnp.asarray(t_a[i]), inliers=None,
-                                 n_inliers=int(nin_a[i]))
-                break
-        if cand < 0:
+            if bool(ok_a[i]) and c in self.kf_slots:
+                passing.append(dict(c=c, s=float(s_a[i]), R=R_a[i].copy(),
+                                    t=t_a[i].copy(), n_in=int(nin_a[i])))
+        if not passing:
             return
+        self._dispatch_verify(slot, passing, 0, p.get("sync", False))
+
+    def _dispatch_verify(self, slot, passing, idx, sync):
+        """Guided-reprojection verification over the loop-side covisibility
+        GROUP (ComputeSim3, LoopClosing.cpp:459-498) — only for a
+        RANSAC-passing candidate (it is a whole-map projection search), and
+        DISPATCH-ONLY: the count is harvested frames later (_harvest_verify).
+        The old synchronous verify sat on the harvest path and stormed when
+        RANSAC passers repeated (10.3 s of blocking pulls in the r4 driver
+        run). The guided gate is what rejects aliased places: a pairwise Sim3
+        between two visually similar spots passes RANSAC with high consensus,
+        but the group's surrounding geometry does not re-project (base drift
+        without loops: 5 mm; with unverified closures: 3.6 m, measured).
+        Groups come from the detection-time covisibility matrix (a fresh
+        per-candidate row would be a device pull each)."""
+        cv = passing[idx]
+        c = cv["c"]
+        W = getattr(self.loop, "last_W", None)
+        if W is not None:
+            wrow = W[c] * self._active_mask()
+            wrow[c] = 0
+            nb = [int(k) for k in np.argsort(-wrow)[:4]
+                  if wrow[k] >= self.cfg.covis_th]
+        else:
+            nb = self._covisible(c, 4)
+        grp = ([c] + nb + [c] * 5)[:5]
+        with self.timers.stage("lc_verify"):
+            h = loopclosing.guided_match_count(
+                self.m, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(c, jnp.int32), jnp.asarray(grp, jnp.int32),
+                jnp.asarray(cv["s"]), jnp.asarray(cv["R"]),
+                jnp.asarray(cv["t"]), self.cam)
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass
+        self._deferred_verify = {"slot": slot, "passing": passing,
+                                 "idx": idx, "h": h, "sync": sync}
+        if sync:
+            self._harvest_verify(force=True)
+
+    def _harvest_verify(self, force=False):
+        """Consume a landed guided-match count: accept (apply the closure) or
+        move on to the next RANSAC-passing candidate (one dispatch per
+        harvest, so a candidate storm costs one deferred program per frame,
+        never a blocking pull)."""
+        v = self._deferred_verify
+        if v is None:
+            return
+        if not force:
+            try:
+                if not v["h"].is_ready():
+                    return
+            except Exception:
+                v["age"] = v.get("age", 0) + 1
+                if v["age"] < 4:
+                    return
+        self._deferred_verify = None
+        slot = v["slot"]
+        if slot not in self.kf_slots or not self._loop_gates_open():
+            return
+        with self.timers.stage("lc_verify_pull"):
+            n_guided = int(np.asarray(v["h"]))
+        cv = v["passing"][v["idx"]]
+        if n_guided >= 40 and cv["c"] in self.kf_slots:
+            from mc_slam_tpu.geometry.sim3solver import Sim3Result
+            res = Sim3Result(ok=True, s=jnp.asarray(cv["s"]),
+                             R=jnp.asarray(cv["R"]), t=jnp.asarray(cv["t"]),
+                             inliers=None, n_inliers=cv["n_in"])
+            self._apply_closure(slot, cv["c"], res)
+            return
+        nxt = v["idx"] + 1
+        if nxt < len(v["passing"]) and v["passing"][nxt]["c"] in self.kf_slots:
+            self._dispatch_verify(slot, v["passing"], nxt, v["sync"])
+
+    def _apply_closure(self, slot, cand, res):
+        act = list(self.kf_slots)
         # implied correction BEFORE the map is touched: how far the measured
         # Sim3 moves the current KF vs its estimate (the drift this closure
         # heals). On a low-drift map a LARGE value = the closure is wrong.
@@ -2218,7 +2304,11 @@ class SlamSystem:
         self.m = loopclosing.close_loop(self.m, act, slot, cand, res, self.cam,
                                         fix_scale=self.vi_inited,
                                         loop_edges=self.loop_edges)
-        self.loop_edges.append((cand, slot))
+        # unordered-pair membership guard (ADVICE r4): a re-closure of the
+        # same KF pair after the cooldown must not duplicate the edge
+        pair = (min(cand, slot), max(cand, slot))
+        if pair not in {(min(a, b), max(a, b)) for a, b in self.loop_edges}:
+            self.loop_edges.append((cand, slot))
         self.events.append((self.frame_id, "loop",
                             dict(cur=slot, cand=cand,
                                  cur_fid=self.kf_id_host.get(slot, -1),
@@ -2235,19 +2325,38 @@ class SlamSystem:
         # the two halves.
         from mc_slam_tpu.slam_map.mapstate import observation_counts as _oc
         obs_n = _oc(self.m)
-        cur_side = [slot] + [s for s in self._covisible(slot, 2) if s != cand]
-        loop_side = [cand] + [s for s in self._covisible(cand, 2)
+        cur_side = [slot] + [s for s in self._covisible(slot, 4) if s != cand]
+        loop_side = [cand] + [s for s in self._covisible(cand, 4)
                               if s != slot and s not in cur_side]
+        # radius 4 px as the reference's SearchAndFuse(th=4) for
+        # Sim3-corrected projections (src/LoopClosing.cpp:732-764) — the
+        # residual seam error right after the pose-graph correction is larger
+        # than steady-state fusion's
+        for a in loop_side[:3]:
+            for b in cur_side[:3]:
+                self.m, _ = mapping.fuse_into_keyframe(
+                    self.m, jnp.asarray(a), jnp.asarray(b), self.cam,
+                    self.ext, radius=4.0, obs_n=obs_n)
+                self.m, _ = mapping.fuse_into_keyframe(
+                    self.m, jnp.asarray(b), jnp.asarray(a), self.cam,
+                    self.ext, radius=4.0, obs_n=obs_n)
+        # full BA after the pose-graph correction (RunGlobalBundleAdjustment)
+        self._local_ba(force_all=True, prune=False)
+        # second fusion round on the REFINED geometry: right after the pose
+        # graph the residual seam error still scatters matches outside the
+        # window; post-GBA the projections line up and the remaining
+        # duplicates merge (the reference gets this implicitly — its GBA
+        # thread finishes long after SearchAndFuse and the next keyframes'
+        # SearchInNeighbors rounds keep fusing the healed seam)
+        obs_n = _oc(self.m)
         for a in loop_side[:2]:
             for b in cur_side[:2]:
                 self.m, _ = mapping.fuse_into_keyframe(
                     self.m, jnp.asarray(a), jnp.asarray(b), self.cam,
-                    self.ext, obs_n=obs_n)
+                    self.ext, radius=4.0, obs_n=obs_n)
                 self.m, _ = mapping.fuse_into_keyframe(
                     self.m, jnp.asarray(b), jnp.asarray(a), self.cam,
-                    self.ext, obs_n=obs_n)
-        # full BA after the pose-graph correction (RunGlobalBundleAdjustment)
-        self._local_ba(force_all=True, prune=False)
+                    self.ext, radius=4.0, obs_n=obs_n)
         self.last_pose = self._kf_body_pose(slot)
         if self.vi_inited:
             self.last_ns = jax.tree_util.tree_map(

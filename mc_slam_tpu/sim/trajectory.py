@@ -32,12 +32,13 @@ class MavTrajectory:
     via Tbc. Scale of excursions set by `extent` (metres)."""
 
     def __init__(self, duration=120.0, extent=(6.0, 3.0, 0.9), z0=1.6,
-                 speed_mix=(1.0, 2.0, 3.0), seed_phase=0.0):
+                 speed_mix=(1.0, 2.0, 3.0), seed_phase=0.0, yaw_scale=1.0):
         self.T = float(duration)
         self.ex, self.ey, self.ez = extent
         self.z0 = z0
         self.k1, self.k2, self.k3 = speed_mix
         self.ph = seed_phase
+        self.yaw_scale = float(yaw_scale)
 
     def pose(self, t):
         """(P_wb (3,), R_wb (3,3)) body pose; path closes at t=T."""
@@ -60,7 +61,8 @@ class MavTrajectory:
         ])
         # attitude: slow yaw sweep + MAV-like roll/pitch excitation (rotation
         # richness drives VI-init observability, eq. 19/20 of VI-ORB)
-        yaw = 0.9 * np.sin(k1 * w * t + 0.3) + 0.45 * np.sin(k2 * w * t + 2.0)
+        yaw = self.yaw_scale * (0.9 * np.sin(k1 * w * t + 0.3)
+                                + 0.45 * np.sin(k2 * w * t + 2.0))
         pitch = 0.10 * np.sin(2.1 * k2 * w * t + 0.5) + 0.06 * np.sin(5.0 * w * t)
         roll = 0.12 * np.sin(1.7 * k2 * w * t + 1.1) + 0.05 * np.sin(4.2 * w * t + 0.4)
         R = _rodrigues([0, 0, yaw]) @ _rodrigues([0, pitch, 0]) @ _rodrigues([roll, 0, 0])

@@ -132,7 +132,10 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
         return valid0 * ((chi2 <= huber_delta2) & (z > 1e-6)).astype(valid0.dtype)
 
     # two-round protocol on the fused driver (lm_two_phase's structure with
-    # lm_optimize_fused's one-pass iterations)
+    # lm_optimize_fused's one-pass iterations); rtol>0 = abortable-BA mode
+    # (mbAbortBA): single round WITH early exit, matching lm_two_phase's
+    # `not enable or rtol > 0` routing (ADVICE r4: previously the rtol branch
+    # silently dropped the early exit too)
     if two_phase and rtol == 0.0:
         it1 = max(2, int(round(iters * 0.4)))
         it2 = max(2, iters - it1)
@@ -146,7 +149,8 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
     else:
         lin1, sol1 = make_fns(obs.valid)
         (ns, rho), cost, _ = lm.lm_optimize_fused((ns0, rho0), lin1, sol1,
-                                                  retract, iters, lam0=lam0)
+                                                  retract, iters, lam0=lam0,
+                                                  rtol=rtol)
     ns = ns._replace(R=lie.so3_normalize_fast(ns.R))
     r, _, _, _, z = per_obs(ns, rho)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2

@@ -338,7 +338,7 @@ def lm_optimize(x0, linearize_solve: Callable, retract: Callable, cost_fn: Calla
 
 def lm_optimize_fused(x0, linearize, solve, retract, iters: int,
                       lam0=1e-4, lam_down=0.5, lam_up=4.0, lam_min=1e-9,
-                      lam_max=1e6):
+                      lam_max=1e6, rtol=0.0):
     """LM driver that REUSES the linearization for the accept/reject cost:
     `linearize(x) -> (lin, cost)` builds the normal-equation blocks AND the
     robust cost in one pass; `solve(lin, lam) -> dx`. A rejected candidate
@@ -346,10 +346,13 @@ def lm_optimize_fused(x0, linearize, solve, retract, iters: int,
     re-linearizing — per iteration this runs ONE residual/Jacobian pass where
     the classic driver (lm_optimize) runs two (linearize_solve + cost_fn).
     On a 20-KF IDP window the residual pass is ~2/3 of the iteration, so this
-    is ~1.6x per-iteration throughput at identical accepted-step math."""
+    is ~1.6x per-iteration throughput at identical accepted-step math.
+    rtol > 0 enables early termination exactly as in lm_optimize: once an
+    accepted step improves cost by less than rtol relative, remaining scan
+    iterations take the cheap no-op branch."""
     lin0, c0 = linearize(x0)
 
-    def step(st, _):
+    def work(st):
         x, lin, cost, lam = st
         dx = solve(lin, lam)
         x_new = retract(x, dx)
@@ -365,10 +368,25 @@ def lm_optimize_fused(x0, linearize, solve, retract, iters: int,
         cost2 = jnp.where(accept, c_new, cost)
         lam2 = jnp.clip(jnp.where(accept, lam * lam_down, lam * lam_up),
                         lam_min, lam_max)
-        return (x2, lin2, cost2, lam2), cost2
+        done = accept & (cost - cost2 < rtol * jnp.maximum(cost, 1e-12))
+        return (x2, lin2, cost2, lam2), done
 
-    init = (x0, lin0, c0, jnp.asarray(lam0, c0.dtype))
-    (x, _, cost, _), costs = jax.lax.scan(step, init, None, length=iters)
+    if rtol > 0.0:
+        def step(carry, _):
+            st, done = carry
+            st2, done2 = jax.lax.cond(
+                done, lambda s: (s, jnp.asarray(True)), work, st)
+            return (st2, done | done2), st2[2]
+        init = ((x0, lin0, c0, jnp.asarray(lam0, c0.dtype)),
+                jnp.asarray(False))
+        ((x, _, cost, _), _), costs = jax.lax.scan(step, init, None,
+                                                   length=iters)
+    else:
+        def step(st, _):
+            st2, _ = work(st)
+            return st2, st2[2]
+        init = (x0, lin0, c0, jnp.asarray(lam0, c0.dtype))
+        (x, _, cost, _), costs = jax.lax.scan(step, init, None, length=iters)
     return x, cost, costs
 
 
