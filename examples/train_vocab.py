@@ -73,12 +73,20 @@ def main():
     vocab = bow.train_vocab(jnp.asarray(alld, jnp.int8),
                             jnp.ones(len(alld), jnp.float32), key,
                             n_words=args.words, iters=args.iters)
+    # idf over the training corpus, one document per harvested frame
+    # (DBoW2's tf-idf word weights, ScoringObject.cpp / setNodeWeights role)
+    doc_id = np.concatenate([np.full(len(d), i, np.int32)
+                             for i, d in enumerate(descs)])
+    idf = bow.compute_idf(jnp.asarray(alld, jnp.int8),
+                          jnp.ones(len(alld), jnp.float32), vocab,
+                          jnp.asarray(doc_id), len(descs))
     out = args.out or os.path.join(os.path.dirname(__file__), "..",
                                    "mc_slam_tpu", "assets", "vocab.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     # pack +/-1 int8 -> bits for a compact artifact
     bits = np.packbits((np.asarray(vocab) > 0).astype(np.uint8), axis=1)
-    np.savez_compressed(out, bits=bits, n_words=args.words)
+    np.savez_compressed(out, bits=bits, n_words=args.words,
+                        idf=np.asarray(idf, np.float32))
     print(f"saved {out} ({os.path.getsize(out)/1024:.0f} KiB)")
 
 

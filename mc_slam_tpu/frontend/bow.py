@@ -49,6 +49,58 @@ def load_default_vocab(key=None):
     return random_vocab(key)
 
 
+def load_default_idf():
+    """(W,) float32 inverse-document-frequency weights shipped with the
+    vocabulary (DBoW2's tf-idf weighting, TemplatedVocabulary
+    createWords/setNodeWeights): words common to every rendered view carry
+    ~no place information and must not dominate the histogram dot product.
+    None when the asset predates idf training."""
+    import os
+    import numpy as np
+    if os.path.exists(_ASSET):
+        z = np.load(_ASSET)
+        if "idf" in z:
+            v = jnp.asarray(z["idf"].astype(np.float32))
+            jax.block_until_ready(v)
+            return v
+    return None
+
+
+def compute_idf(desc_pm1, valid, vocab, doc_id, n_docs, soft_k: int = 4,
+                batch: int = 4096):
+    """idf from a training corpus: log(N / (1 + df_w)) with df_w = number of
+    documents (frames) whose descriptors vote for word w (same soft top-k
+    assignment as bow_histogram). doc_id: (N,) int32 frame index per
+    descriptor. Chunked like train_vocab — the dense (N, W) distance matrix
+    at corpus scale would be tens of GB."""
+    import numpy as np
+    N = desc_pm1.shape[0]
+    Npad = int(np.ceil(N / batch)) * batch
+    d = jnp.zeros((Npad, 256), jnp.int8).at[:N].set(desc_pm1.astype(jnp.int8))
+    v = jnp.zeros((Npad,), jnp.float32).at[:N].set(valid.astype(jnp.float32))
+    doc = jnp.zeros((Npad,), jnp.int32).at[:N].set(doc_id.astype(jnp.int32))
+
+    @jax.jit
+    def run(d, v, doc):
+        def body(seen, chunk):
+            d_c, v_c, doc_c = chunk
+            dot = jax.lax.dot_general(d_c, vocab, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            _, topi = jax.lax.top_k(dot, soft_k)
+            docs = jnp.broadcast_to(doc_c[:, None], topi.shape)
+            seen = seen.at[docs, topi].max(
+                jnp.broadcast_to(v_c[:, None], topi.shape).astype(jnp.float32))
+            return seen, None
+
+        seen0 = jnp.zeros((n_docs, vocab.shape[0]), jnp.float32)
+        seen, _ = jax.lax.scan(
+            body, seen0, (d.reshape(-1, batch, 256),
+                          v.reshape(-1, batch), doc.reshape(-1, batch)))
+        return jnp.log(float(n_docs) / (1.0 + seen.sum(axis=0)))
+
+    return run(d, v, doc)
+
+
 def random_vocab(key, n_words=DEFAULT_WORDS):
     """(W, 256) int8 +/-1 random binary centroids."""
     bits = jax.random.bernoulli(key, 0.5, (n_words, 256))
@@ -105,7 +157,7 @@ def train_vocab(desc_pm1, valid, key, n_words=DEFAULT_WORDS, iters=4,
 
 
 @partial(jax.jit, static_argnames=("soft_k",))
-def bow_histogram(desc_pm1, valid, vocab, soft_k: int = 4):
+def bow_histogram(desc_pm1, valid, vocab, soft_k: int = 4, idf=None):
     """tf histogram over vocabulary words, L2-normalized. (N,256),(N,),(W,256)
     -> (W,) float32. (The reference scores L1 on tf-idf; L2-dot scoring is the
     same ordering family and one matmul — idf folded in by score_all's caller
@@ -129,6 +181,8 @@ def bow_histogram(desc_pm1, valid, vocab, soft_k: int = 4):
         w = jnp.exp(0.02 * (topv - topv[:, :1]).astype(jnp.float32))
         hist = jnp.zeros(vocab.shape[0], jnp.float32).at[topi].add(
             w * valid.astype(jnp.float32)[:, None])
+    if idf is not None:
+        hist = hist * jnp.maximum(idf, 0.0)
     return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
 
 

@@ -42,8 +42,9 @@ class LoopDetector:
     """Detector state: per-KF BoW histograms (device-resident — a host pull
     per keyframe blocked the event loop) + host consistency counters."""
 
-    def __init__(self, vocab, max_kf, min_consistency=3):
+    def __init__(self, vocab, max_kf, min_consistency=3, idf=None):
         self.vocab = vocab
+        self.idf = idf
         self.hists = jnp.zeros((max_kf, vocab.shape[0]), jnp.float32)
         jax.block_until_ready(self.hists)   # see bow.load_default_vocab
         self.min_consistency = min_consistency
@@ -58,7 +59,7 @@ class LoopDetector:
         self._dispatch_ids: dict[int, int] | None = None
 
     def add_keyframe(self, slot, desc_pm1, valid, kf_id=None):
-        h = bow.bow_histogram(desc_pm1, valid, self.vocab)
+        h = bow.bow_histogram(desc_pm1, valid, self.vocab, idf=self.idf)
         self.hists = self.hists.at[slot].set(h)
         if kf_id is not None:
             self.hist_ids[int(slot)] = int(kf_id)
@@ -199,7 +200,7 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
 
 
 def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
-               fix_scale=False, loop_edges=None):
+               fix_scale=False, loop_edges=None, mesh=None):
     """Apply the loop correction: build the Sim3 ESSENTIAL graph over active
     KFs — sequential chain (spanning tree), ALL covisibility pairs with
     weight >= 100 across the map, the current KF's >= 50 links, every
@@ -337,8 +338,17 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
             .astype(dtype).at[i_loop].set(0.0))          # fix the loop KF + pads
     g = posegraph.Sim3Graph(s=s0i, R=R0i, t=t0i, ei=ei_a, ej=ej_a,
                             s_m=sm, R_m=Rm, t_m=tm, w=w, free=free)
-    R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(
-        g, iters=40, fix_scale=fix_scale)
+    if mesh is not None:
+        # edge-sharded essential graph over the device mesh (the whole-map
+        # optimization the reference runs single-threaded at
+        # src/Optimizer.cpp:4243; here each device owns an edge shard and
+        # one psum per iteration reduces the 7K-dim normal equations)
+        from mc_slam_tpu.parallel import dist_posegraph
+        R_new, s_new, t_new, cost = dist_posegraph.optimize_pose_graph_dist(
+            mesh, g, iters=40, fix_scale=fix_scale)
+    else:
+        R_new, s_new, t_new, cost = posegraph.optimize_pose_graph(
+            g, iters=40, fix_scale=fix_scale)
     # pad rows scatter to the same slot as the last real row; make them carry
     # its optimized values (shape-stable clamp gather)
     row = jnp.minimum(jnp.arange(Kp), jnp.asarray(K - 1))

@@ -282,13 +282,8 @@ def create_points_with_neighbors(m: MapState, kf_a, nbrs, cam: Camera,
     a full host->device round trip through a remote-attached chip) with one
     lax.scan; the chained MapState stays device-resident throughout.
     """
-    def body(m, nb):
-        m2, n = create_points_with_neighbor(m, kf_a, nb, cam, ext,
-                                            max_new=max_new, n_levels=n_levels)
-        return m2, n
-
-    m2, ns = jax.lax.scan(body, m, nbrs)
-    return m2, jnp.sum(ns)
+    return create_points_with_neighbor_scan(m, kf_a, nbrs, cam, ext,
+                                            max_new, n_levels)
 
 
 @partial(jax.jit, static_argnames=())
@@ -386,6 +381,44 @@ def kf_redundancy_all(m: MapState):
     red = jnp.sum(has & (obs_n[mp] >= 4.0), axis=1).astype(jnp.float32)
     n_pts = jnp.sum(has, axis=1)
     return red / jnp.maximum(n_pts.astype(jnp.float32), 1.0), n_pts
+
+
+@jax.jit
+def write_keyframe(m: MapState, slot, P_pose, R_pose, V, bg, ba, t_kf, fid,
+                   uv, level, angle, ur, desc, pm1, feat_valid,
+                   feat_mp=None, pre=None):
+    """All keyframe-table writes of an insertion as ONE device program.
+
+    The eager form (~30 .at[].set ops across kf_ns/kf_* tables) cost ~280 ms
+    of enqueue+drain per keyframe event through a remote-attached chip
+    (measured); fused it is one dispatch. pre: optional PreintState row;
+    feat_mp: optional (F,) association row (KF creation from tracking)."""
+    ns = m.kf_ns
+    z3 = jnp.zeros(3, ns.P.dtype)
+    ns = ns._replace(
+        P=ns.P.at[slot].set(P_pose), R=ns.R.at[slot].set(R_pose),
+        V=ns.V.at[slot].set(V),
+        bg=ns.bg.at[slot].set(bg), ba=ns.ba.at[slot].set(ba),
+        dbg=ns.dbg.at[slot].set(z3), dba=ns.dba.at[slot].set(z3))
+    m = m._replace(
+        kf_ns=ns,
+        kf_time=m.kf_time.at[slot].set(t_kf),
+        kf_id=m.kf_id.at[slot].set(fid),
+        kf_active=m.kf_active.at[slot].set(True),
+        kf_uv=m.kf_uv.at[slot].set(uv),
+        kf_level=m.kf_level.at[slot].set(level),
+        kf_angle=m.kf_angle.at[slot].set(angle),
+        kf_ur=m.kf_ur.at[slot].set(ur),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_pm1=m.kf_pm1.at[slot].set(pm1),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
+    )
+    if feat_mp is not None:
+        m = m._replace(kf_mp=m.kf_mp.at[slot].set(feat_mp))
+    if pre is not None:
+        m = m._replace(kf_preint=jax.tree_util.tree_map(
+            lambda a, b: a.at[slot].set(b), m.kf_preint, pre))
+    return m
 
 
 @jax.jit
@@ -566,6 +599,74 @@ def kf_event_stats(m: MapState, slot, min_obs: int = 3):
             & (obs_n[jnp.clip(mp_ref, 0, P - 1)] >= min_obs))
     return (covis_row, red_ratio, n_pts, jnp.sum(m.mp_active),
             jnp.sum(well))
+
+
+@partial(jax.jit, static_argnames=("min_obs", "n_evict", "covis_th",
+                                   "max_new"))
+def kf_event_pre(m: MapState, slot, current_kf_id, cam: Camera,
+                 ext: factors.Extrinsics, n_levels, min_obs: int = 3,
+                 n_evict: int = 0, covis_th: int = 15, max_new: int = 256):
+    """Landmark maintenance + neighbor selection + triangulation + fusion as
+    ONE device program (the pre-BA half of a keyframe event). The split form
+    cost 4 dispatches with ~30 ms of tunnel gaps each through a
+    remote-attached chip. Returns (m2, nb4, nbv4, wslots, wvalid)."""
+    m = cull_and_evict.__wrapped__(m, current_kf_id, min_obs=min_obs,
+                                   n_evict=n_evict)
+    nb4, nbv4, wslots, wvalid = kf_neighbors.__wrapped__(
+        m, slot, covis_th=covis_th)
+    m, _ = create_points_with_neighbor_scan(m, slot, nb4, cam, ext,
+                                            max_new=max_new,
+                                            n_levels=n_levels)
+    m, _ = fuse_neighbors.__wrapped__(m, slot, nb4, nbv4, cam, ext)
+    return m, nb4, nbv4, wslots, wvalid
+
+
+def create_points_with_neighbor_scan(m, kf_a, nbrs, cam, ext, max_new,
+                                     n_levels):
+    """Unjitted body of create_points_with_neighbors (for fusion into larger
+    programs)."""
+    def body(m, nb):
+        m2, n = create_points_with_neighbor.__wrapped__(
+            m, kf_a, nb, cam, ext, max_new=max_new, n_levels=n_levels)
+        return m2, n
+
+    m2, ns = jax.lax.scan(body, m, nbrs)
+    return m2, jnp.sum(ns)
+
+
+@partial(jax.jit, static_argnames=("min_obs", "refresh"))
+def kf_event_post(m: MapState, slot, wslots, wvalid, ext: factors.Extrinsics,
+                  hists, n_levels, min_obs: int = 3, refresh: bool = True):
+    """Post-BA half of a keyframe event as ONE device program: point-stat
+    refresh, redundancy/ref-tracked stats, and loop-detection scores — with
+    the (K,P) observation matrix built ONCE and shared between the stats and
+    the covisibility matrix (kf_event_stats and the detector each built
+    their own before). Returns (m2, stats_tuple, scores)."""
+    if refresh:
+        m = refresh_point_stats.__wrapped__(m, wslots, wvalid, ext,
+                                            n_levels=n_levels)
+    P = m.P
+    obs = (m.kf_mp >= 0) & m.kf_feat_valid & m.kf_active[:, None]
+    kf_sees = jnp.zeros((m.K, P), jnp.float32)
+    flat_k = jnp.repeat(jnp.arange(m.K), m.F)
+    flat_p = jnp.clip(m.kf_mp.reshape(-1), 0, P - 1)
+    kf_sees = kf_sees.at[flat_k, flat_p].max(
+        obs.reshape(-1).astype(jnp.float32))
+    sees_act = kf_sees * m.mp_active[None, :]
+    W = sees_act @ sees_act.T                                  # (K, K) covis
+    covis_row = W[slot]
+    obs_n = jnp.sum(kf_sees, axis=0) * m.mp_active             # (P,)
+    mp = jnp.clip(m.kf_mp, 0, P - 1)
+    red = jnp.sum(obs & (obs_n[mp] >= 4.0), axis=1).astype(jnp.float32)
+    n_pts = jnp.sum(obs, axis=1)
+    red_ratio = red / jnp.maximum(n_pts.astype(jnp.float32), 1.0)
+    mp_ref = m.kf_mp[slot]
+    well = ((mp_ref >= 0) & m.kf_feat_valid[slot]
+            & (obs_n[jnp.clip(mp_ref, 0, P - 1)] >= min_obs))
+    stats = (covis_row, red_ratio, n_pts, jnp.sum(m.mp_active),
+             jnp.sum(well))
+    scores = hists @ hists[slot]
+    return m, stats, scores, W
 
 
 @partial(jax.jit, static_argnames=("covis_th",))

@@ -158,6 +158,125 @@ def vi_ba_idp(ns0: NavState, rho0, obs: IDPObs, edges: IMUEdges, camera: Camera,
     return ns, rho, chi2, cost
 
 
+@partial(jax.jit, static_argnames=("iters", "rtol", "two_phase", "Pw"))
+def vi_window_ba(ns_w, mp_pos, mp_active, obs_pt, obs_cam, obs_uv,
+                 obs_inv_sigma2, obs_valid, edges: IMUEdges, camera: Camera,
+                 ext: factors.Extrinsics, gw, free_cam,
+                 prior: PriorFactor | None = None, iters: int = 8,
+                 rtol: float = 0.0, two_phase: bool = True, Pw: int = 4096):
+    """The pipeline's windowed VI BA entry, FUSED and LANDMARK-COMPACTED.
+
+    The production window references only the ~2-4k landmarks its keyframes
+    observe, but the map table holds 16k+ slots — solving in full-table index
+    space made every (P,)-sized scatter/gather/Schur op pay for the whole
+    table (measured 550 ms vs 38 ms for the same window at the true landmark
+    count). Here the window's landmarks are compacted to a fixed Pw-slot
+    problem in-graph (cumsum ids over the observed mask), anchored, solved
+    (vi_ba_idp), and scattered back — ONE device program for the whole event
+    stage. Points past Pw (never seen in practice; the window can reference
+    at most n*F uniques) drop their observations for this solve.
+
+    Returns (ns2, mp_pos2, chi2, idp_valid) with chi2/idp_valid aligned to
+    the input observation order (full-table pt indices)."""
+    P = mp_pos.shape[0]
+    n = ns_w.P.shape[0]
+    ov = (obs_valid > 0) & mp_active[obs_pt]
+    present = jnp.zeros(P + 1, bool).at[jnp.where(ov, obs_pt, P)].set(
+        True, mode="drop")[:P]
+    cid = jnp.cumsum(present.astype(jnp.int32)) - 1          # (P,)
+    keep = present & (cid < Pw)
+    # inverse map compact -> full slot (unused compact slots point at 0 with
+    # used=False; their rho stays frozen via rho_free=0)
+    tgt = jnp.where(keep, cid, Pw)
+    slot_of = jnp.zeros(Pw, jnp.int32).at[tgt].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+    used = jnp.zeros(Pw, bool).at[tgt].set(True, mode="drop")
+    pt_c = jnp.where(keep[obs_pt], cid[obs_pt], 0)
+    valid_c = (ov & keep[obs_pt]).astype(obs_valid.dtype)
+    mp_pos_c = mp_pos[slot_of]
+
+    BIGI = jnp.int32(2 ** 30)
+    anchor_loc = jnp.full((Pw,), BIGI).at[pt_c].min(
+        jnp.where(valid_c > 0, obs_cam, BIGI), mode="drop")
+    has_anchor = anchor_loc < n
+    anchor_cl = jnp.clip(anchor_loc, 0, n - 1)
+    is_anchor_obs = (valid_c > 0) & (obs_cam == anchor_cl[pt_c]) \
+        & has_anchor[pt_c]
+    uv0 = jnp.zeros((Pw, 2), obs_uv.dtype).at[
+        jnp.where(is_anchor_obs, pt_c, Pw)].set(obs_uv, mode="drop")
+    rho0 = xyz_to_idp(mp_pos_c, ns_w.P[anchor_cl], ns_w.R[anchor_cl], uv0,
+                      camera, ext)
+    idp_valid = ((valid_c > 0) & ~is_anchor_obs
+                 & has_anchor[pt_c]).astype(jnp.float32)
+    idp_obs = IDPObs(anchor=anchor_cl[pt_c], obs_kf=obs_cam, pt=pt_c,
+                     uv0=uv0[pt_c], uv=obs_uv, inv_sigma2=obs_inv_sigma2,
+                     valid=idp_valid)
+    rho_free = (jnp.zeros((Pw,), jnp.float32).at[pt_c].max(
+        idp_valid, mode="drop") * used)
+    ns2, rho, chi2, cost = vi_ba_idp.__wrapped__(
+        ns_w, rho0, idp_obs, edges, camera, ext, gw, free_cam, rho_free,
+        iters=iters, prior=prior, rtol=rtol, two_phase=two_phase)
+    Xw = idp_to_xyz(rho, uv0, ns2.P[anchor_cl], ns2.R[anchor_cl], camera, ext)
+    upd = (rho_free > 0)
+    mp_pos2 = mp_pos.at[jnp.where(upd, slot_of, P)].set(
+        jnp.where(upd[:, None], Xw, mp_pos_c), mode="drop")
+    return ns2, mp_pos2, chi2, idp_valid
+
+
+@partial(jax.jit,
+         static_argnames=("iters", "rtol", "two_phase", "Pw", "do_prune"))
+def window_vi_ba_map(m, ks, idx_i, idx_j, ev, n_real, free_cam,
+                     camera: Camera, ext: factors.Extrinsics, gw,
+                     sigma_bg, sigma_ba, prior: PriorFactor | None = None,
+                     iters: int = 8, rtol: float = 0.0, two_phase: bool = True,
+                     Pw: int = 4096, do_prune: bool = True,
+                     chi2_gate: float = CHI2_MONO):
+    """The ENTIRE windowed VI-BA event stage as one device program, operating
+    directly on the MapState: observation gather from the keyframe tables,
+    preintegration-edge assembly (with masked-edge identity infos), the
+    landmark-compacted IDP solve (vi_window_ba), NavState/landmark
+    scatter-back, and the post-BA chi2 association prune. The eager form of
+    this stage cost ~25 host dispatches (~150 ms of enqueue + tunnel gaps per
+    keyframe event on a remote-attached chip) around a 70 ms solve.
+
+    ks: (n,) padded window+fixed slots; idx_i/idx_j/ev: (E,) edge index lists
+    from the host (SlamSystem._imu_edge_lists); n_real: traced count of real
+    (non-pad) slots; free_cam: (n,) free mask. Returns the updated MapState.
+    """
+    Fn = m.F
+    n = ks.shape[0]
+    cam_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), Fn)
+    mp = m.kf_mp[ks].reshape(-1)
+    uv = m.kf_uv[ks].reshape(-1, 2)
+    lvl = m.kf_level[ks].reshape(-1)
+    fv = m.kf_feat_valid[ks].reshape(-1)
+    valid = (mp >= 0) & fv & (cam_idx < n_real)
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * lvl.astype(jnp.float32)))
+    pt = jnp.clip(mp, 0, m.P - 1)
+    # PRV/bias edges (SlamSystem._imu_edges semantics, in-graph)
+    pre = jax.tree_util.tree_map(lambda x: x[ks[idx_j]], m.kf_preint)
+    info_prv = factors.imu_prv_info(pre)
+    info_bias = factors.bias_rw_info(pre.dT, sigma_bg, sigma_ba)
+    sel = ev[:, None, None] > 0
+    info_prv = jnp.where(sel, info_prv, jnp.eye(9, dtype=info_prv.dtype))
+    info_bias = jnp.where(sel, info_bias, jnp.eye(6, dtype=info_bias.dtype))
+    edges = IMUEdges(i=idx_i, j=idx_j, pre=pre, info_prv=info_prv,
+                     info_bias=info_bias, valid=ev)
+    ns_w = jax.tree_util.tree_map(lambda a: a[ks], m.kf_ns)
+    ns2, mp_pos2, chi2, idp_valid = vi_window_ba.__wrapped__(
+        ns_w, m.mp_pos, m.mp_active, pt, cam_idx, uv, inv_sigma2,
+        valid.astype(jnp.float32), edges, camera, ext, gw, free_cam,
+        prior=prior, iters=iters, rtol=rtol, two_phase=two_phase, Pw=Pw)
+    kf_ns2 = jax.tree_util.tree_map(
+        lambda full, w: full.at[ks].set(w), m.kf_ns, ns2)
+    m = m._replace(kf_ns=kf_ns2, mp_pos=mp_pos2)
+    if do_prune:
+        bad = (chi2 > chi2_gate * 1.5) & (idp_valid > 0)
+        rows = jnp.where(bad.reshape(n, -1), -1, m.kf_mp[ks])
+        m = m._replace(kf_mp=m.kf_mp.at[ks].set(rows))
+    return m
+
+
 def xyz_to_idp(pts_w, anchor_P, anchor_R, anchor_uv_ideal, cam: Camera,
                ext: factors.Extrinsics):
     """Convert world landmarks to anchored inverse depth w.r.t. their anchor
