@@ -73,6 +73,9 @@ def main():
                     help="max lost frames")
     ap.add_argument("--no-loops", action="store_true",
                     help="disable loop closing (drift diagnosis)")
+    ap.add_argument("--save-ckpt", default="/tmp/mc_slam_clone_ckpt.npz",
+                    help="system checkpoint for at-scale offline benches "
+                         "(bench_scaling loads the REAL map); empty disables")
     args = ap.parse_args()
     if not args.dataset:
         args.dataset = PROFILE_DATASET.get(args.profile, "/tmp/euroc_clone")
@@ -174,6 +177,13 @@ def main():
         t0 = time.perf_counter()
         slam.global_refine()
         print(f"final GBA: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if args.save_ckpt:
+        from mc_slam_tpu.io import checkpoint as _ckpt
+        try:
+            _ckpt.save_system(args.save_ckpt, slam)
+            print(f"checkpoint -> {args.save_ckpt}", file=sys.stderr)
+        except Exception as e:
+            print(f"checkpoint save failed: {e}", file=sys.stderr)
     traj = slam.get_trajectory()
     t_est = np.asarray([x[0] for x in traj])
     P_est = np.asarray([x[1] for x in traj])
