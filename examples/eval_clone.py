@@ -36,7 +36,8 @@ TBC = np.array([
 #          (fast-rotation/low-texture stress — V1_03-difficult analog; the
 #          gate is survival/relocalization, not accuracy).
 PROFILE_GEN = {
-    "loops": ["--laps", "3", "--imu-noise-scale", "8"],
+    "loops": ["--laps", "2", "--imu-noise-scale", "6", "--blur-ms", "18",
+              "--tex-contrast", "0.8"],
     "hard": ["--laps", "2", "--yaw-scale", "1.6", "--blur-ms", "25",
              "--tex-contrast", "0.55"],
 }
@@ -116,10 +117,11 @@ def main():
                          local_window=20, use_imu=True, vi_init_time=15.0,
                          g_mag=9.810)
     elif args.profile == "loops":
-        # degraded odometry on purpose: half the feature budget, so visual
-        # constraints are weaker and the 8x IMU noise actually accumulates
-        # into closable drift
-        cfg = SlamConfig(max_kf=512, max_mp=16384, n_feat=512, n_levels=4,
+        # degraded odometry on purpose: a third of the feature budget (full
+        # 8-level pyramid kept — the coarse levels are what track through
+        # the doubled motion blur), so visual constraints are weaker and
+        # the 6x IMU noise accumulates into closable drift across the laps
+        cfg = SlamConfig(max_kf=512, max_mp=16384, n_feat=384, n_levels=8,
                          local_window=20, use_imu=True, vi_init_time=15.0,
                          g_mag=9.810)
     elif args.profile == "mid":

@@ -55,10 +55,18 @@ def main():
     ap.add_argument("--laps", type=int, default=2)
     ap.add_argument("--n-feat", type=int, default=1024)
     ap.add_argument("--out", default="")
+    ap.add_argument("--platform", default="",
+                    help="jax platform; empty = device default (extraction "
+                         "on-chip is ~1000x the CPU rate)")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("MC_SLAM_JAXCACHE",
+                                         "/tmp/mc_slam_jaxcache"))
     import jax.numpy as jnp
     from mc_slam_tpu.frontend import bow, extractor
 

@@ -396,7 +396,6 @@ class TrackingCtlMixin:
     # BoW candidates -> 2D-3D descriptor matching -> PnP RANSAC -> refine
     # ------------------------------------------------------------------
     def _relocalize(self, feats, uv, t):
-        from mc_slam_tpu.frontend import matching as matching_mod
         cfg = self.cfg
         act = list(self.kf_slots)
         if not act:
@@ -414,28 +413,33 @@ class TrackingCtlMixin:
         # per-frame host work
         order = np.argsort(-scores)
         best_s = scores[order[0]] if len(order) else 0.0
-        cand = [int(oi) for oi in order[:5] if scores[int(oi)] >= 0.75 * best_s]
-        for oi in cand:
-            k = act[int(oi)]
-            mp_k = self.m.kf_mp[k]
-            has = (mp_k >= 0) & self.m.kf_feat_valid[k]
-            idx, best, okm = matching_mod.mutual_match(
-                feats.desc_pm1, feats.valid, self.m.kf_pm1[k], has,
-                max_dist=matching_mod.TH_LOW, ratio=0.85,
-                angle_a=feats.angle, angle_b=self.m.kf_angle[k])
-            if int(jnp.sum(okm)) < 15:
+        cand = [act[int(oi)] for oi in order[:5]
+                if scores[int(oi)] >= 0.75 * best_s]
+        if not cand:
+            return False
+        # ALL candidates' descriptor match + PnP in ONE device program with
+        # ONE pull (tracking.reloc_candidates_batch): the per-candidate host
+        # loop cost ~6 round trips each and reloc runs every frame while lost
+        C_PAD = 5
+        cand_p = (cand + [cand[0]] * C_PAD)[:C_PAD]
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, C_PAD)
+        packed = np.asarray(tracking.reloc_candidates_batch(
+            self.m, jnp.asarray(cand_p, jnp.int32), keys, feats.desc_pm1,
+            feats.valid, feats.angle, jnp.asarray(xn, jnp.float32),
+            focal))
+        for i in range(len(cand)):
+            k = cand_p[i]
+            n_match, pnp_ok = packed[i, 0], packed[i, 1]
+            if n_match < 15 or pnp_ok < 0.5:
                 continue
-            Xw = self.m.mp_pos[jnp.clip(mp_k[idx], 0, self.m.P - 1)]
-            self.key, sub = jax.random.split(self.key)
-            res = pnp.pnp_ransac(sub, Xw, jnp.asarray(xn, jnp.float32),
-                                 okm.astype(jnp.float32), focal,
-                                 min_inliers=12)
-            if not bool(res.ok):
-                continue
+            R_cw = packed[i, 3:12].reshape(3, 3)
+            t_cw = packed[i, 12:15]
             # camera pose -> body pose, then refine against the map
-            R_wc = res.R_cw.T
-            C = -(R_wc @ res.t_cw[..., None])[..., 0]
-            P_b, R_b = self._cam_to_body(C, R_wc)
+            R_wc = R_cw.T
+            C = -(R_wc @ t_cw)
+            P_b, R_b = self._cam_to_body(jnp.asarray(C, jnp.float32),
+                                         jnp.asarray(R_wc, jnp.float32))
             tr = tracking.track_frame_visual(self.m, feats, uv, self.cam,
                                              self.ext, P_b, R_b,
                                              radius_coarse=15.0)
