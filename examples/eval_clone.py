@@ -36,8 +36,8 @@ TBC = np.array([
 #          (fast-rotation/low-texture stress — V1_03-difficult analog; the
 #          gate is survival/relocalization, not accuracy).
 PROFILE_GEN = {
-    "loops": ["--laps", "2", "--imu-noise-scale", "6", "--blur-ms", "18",
-              "--tex-contrast", "0.8"],
+    "loops": ["--laps", "2", "--imu-noise-scale", "6",
+              "--weak-walls", "1", "3", "--weak-contrast", "0.45"],
     "hard": ["--laps", "2", "--yaw-scale", "1.6", "--blur-ms", "25",
              "--tex-contrast", "0.55"],
 }
@@ -45,6 +45,11 @@ PROFILE_DATASET = {
     "loops": "/tmp/euroc_clone_loops",
     "hard": "/tmp/euroc_clone_hard",
 }
+# loops: 2 laps at the BASELINE circuit speed (240 s total — the 2x-speed
+# 120 s variant loses tracking on the fast ceiling sweep regardless of
+# texture, exactly like the reference's V2_03 'lost'); hard keeps the fast
+# variant as the stress row.
+PROFILE_DURATION = {"loops": 240.0, "hard": 60.0}
 
 
 def main():
@@ -80,6 +85,8 @@ def main():
     args = ap.parse_args()
     if not args.dataset:
         args.dataset = PROFILE_DATASET.get(args.profile, "/tmp/euroc_clone")
+    if args.duration == 120.0 and args.profile in PROFILE_DURATION:
+        args.duration = PROFILE_DURATION[args.profile]
 
     mav0 = os.path.join(args.dataset, "mav0")
     if not os.path.exists(os.path.join(mav0, "cam0", "data.csv")):

@@ -75,6 +75,11 @@ def main():
     ap.add_argument("--tex-contrast", type=float, default=1.0,
                     help="texture contrast multiplier (<1 = low-texture "
                          "stress)")
+    ap.add_argument("--weak-walls", type=int, nargs="*", default=[],
+                    help="plane indices (0..5: -x,+x,-y,+y,floor,ceiling) "
+                         "rendered at --weak-contrast (feature-starved "
+                         "sector; MH_04 dark-passage analog)")
+    ap.add_argument("--weak-contrast", type=float, default=0.3)
     args = ap.parse_args()
 
     import jax
@@ -86,7 +91,9 @@ def main():
     rng = np.random.default_rng(args.seed)
     cam = euroc_camera()
     world = RoomWorld(rng, tex_size=args.tex_size,
-                      tex_scale=args.tex_scale)
+                      tex_scale=args.tex_scale,
+                      weak_walls=tuple(args.weak_walls),
+                      weak_contrast=args.weak_contrast)
     # laps > 1: the closed path's period is duration/laps, so the MAV re-flies
     # the same circuit (each revisit is a loop-closure opportunity, like the
     # repeated machine-hall passes of EuRoC MH sequences) at laps-x speed

@@ -113,10 +113,15 @@ class LoopDetector:
             if snap is None or cur is None:
                 return True      # no registration info for this slot
             return snap.get(k) == cur
+        # absolute floor 0.15: the held-out study (artifacts/vocab_eval.json)
+        # puts true-revisit top scores at median 0.36-0.40 with the idf
+        # vocabulary while sub-0.15 scores are overwhelmingly noise — the old
+        # 0.05 floor proposed Sim3 candidates at nearly every keyframe event
+        # (90 batches / 107 events on the r4 flagship run, all false)
         cands = [k for k in kf_slots
                  if k != slot and covis[k] < 15
                  and abs(kf_ids[slot] - kf_ids[k]) >= min_gap
-                 and scores[k] >= max(min_score, 0.05) and fresh(k)]
+                 and scores[k] >= max(min_score, 0.15) and fresh(k)]
         if not cands:
             self.consistent_groups = []
             return []

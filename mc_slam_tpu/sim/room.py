@@ -65,7 +65,8 @@ class RoomWorld:
     """Axis-aligned textured box [xmin,xmax]x[ymin,ymax]x[zmin,zmax]."""
 
     def __init__(self, rng, bounds=((-10.0, 10.0), (-6.0, 6.0), (0.0, 6.0)),
-                 tex_size=1024, tex_scale=0.55, n_speckle=None):
+                 tex_size=1024, tex_scale=0.55, n_speckle=None,
+                 weak_walls=(), weak_contrast=0.3):
         # tex_scale < 1 tiles the texture (dense detail, but the world
         # becomes PERIODIC: identical wall patches metres apart alias under
         # place recognition and even geometric loop verification — a repeated
@@ -89,9 +90,16 @@ class RoomWorld:
         if n_speckle is None:
             n_speckle = int(4000 * (tex_size / 1024) ** 2)
         n_posters = max(24, int(24 * (tex_size / 1024) ** 2))
-        for O, U, V, n in specs:
+        for pi, (O, U, V, n) in enumerate(specs):
             tex = make_texture(rng, tex_size, n_speckle=n_speckle,
                                n_posters=n_posters)
+            if pi in weak_walls:
+                # feature-starved sector (an MH_04 dark-passage analog):
+                # contrast low enough that only a thin feature set survives —
+                # tracking holds on the IMU through it and accumulates REAL
+                # drift, giving loop closure something to heal on revisit
+                tex = np.clip(118.0 + weak_contrast * (tex - 118.0),
+                              0, 255).astype(tex.dtype)
             # texture repeats every `tex_scale * span` metres: dense detail
             self.planes.append((O.astype(np.float64), U.astype(np.float64),
                                 V.astype(np.float64), n.astype(np.float64), tex))
