@@ -98,3 +98,41 @@ def test_ate_oracle(rng):
     # rigid alignment cannot absorb the scale
     stats_r = ate_rmse(t, P, t, Pg, with_scale=False)
     assert stats_r["rmse"] > 0.5
+
+
+def test_stream_driver_backpressure_and_imu_carry(rng):
+    """StreamDriver drops frames when the pipeline is saturated but carries
+    their IMU rows into the next processed frame (ros_vio back-pressure
+    analog, Examples/ROS/VIO/src/ros_vio.cpp:156-166)."""
+    import jax.numpy as jnp
+    from mc_slam_tpu.camera import make_camera
+    from mc_slam_tpu.io.stream import StreamDriver
+    from mc_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+    cam = make_camera(300.0, 300.0, 240.0, 180.0, width=480, height=360)
+    slam = SlamSystem(cam, SlamConfig(max_kf=16, max_mp=512, n_feat=64,
+                                      n_levels=2, use_imu=True))
+    drv = StreamDriver(slam)
+    seen = []
+    orig_track = slam.track
+
+    def rec_track(img, t, imu=None, **kw):
+        seen.append((t, 0 if imu is None else len(imu)))
+        return True                      # don't run the real pipeline
+    slam.track = rec_track
+
+    imu1 = np.zeros((5, 7), np.float32)
+    img = rng.uniform(0, 255, (360, 480)).astype(np.float32)
+    assert drv.on_frame(0.0, img, imu=None)
+    # saturate the pipeline: pendings full
+    slam._pendings.extend({} for _ in range(slam.LAG_MAX))
+    assert not drv.accepting()
+    assert not drv.on_frame(0.05, img, imu=imu1)
+    assert not drv.on_frame(0.10, img, imu=imu1)
+    assert drv.n_dropped == 2
+    # pipeline drains; the next frame carries BOTH dropped frames' IMU
+    slam._pendings.clear()
+    assert drv.on_frame(0.15, img, imu=imu1)
+    assert seen[-1] == (0.15, 15)
+    assert drv.n_processed == 2
+    slam.track = orig_track
