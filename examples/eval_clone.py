@@ -82,6 +82,20 @@ def main():
     ap.add_argument("--save-ckpt", default="/tmp/mc_slam_clone_ckpt.npz",
                     help="system checkpoint for at-scale offline benches "
                          "(bench_scaling loads the REAL map); empty disables")
+    # On-chip loop-closure demonstration: the room world re-anchors tracking
+    # against the whole map, so natural drift stays at the few-mm level and
+    # revisits re-attach within the match window — closure is never NEEDED
+    # (measured: loops profile 0 lost / 13 mm over 2 laps). This flag
+    # injects the e2e loop test's mechanism at full scale: a small per-frame
+    # SE3 warp (gravity-preserving yaw + translation; scale fixed — VI) of
+    # everything created after a cutoff, during [t0, t1] of lap 1. The
+    # artifact records drift_injected=true; pair with --no-loops for the
+    # healing comparison.
+    ap.add_argument("--inject-drift", action="store_true")
+    ap.add_argument("--drift-window", type=float, nargs=2, default=[20.0, 50.0])
+    ap.add_argument("--drift-step", type=float, nargs=4,
+                    default=[3e-4, -2e-4, 2e-4, 1.5e-4],
+                    help="per-frame [dx dy dz yaw]")
     args = ap.parse_args()
     if not args.dataset:
         args.dataset = PROFILE_DATASET.get(args.profile, "/tmp/euroc_clone")
@@ -151,11 +165,60 @@ def main():
     times = []
     n = 0
 
+    # device-side drift injection (see --inject-drift): ONE dispatch per
+    # injected frame, no host pulls
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    @_jax.jit
+    def _inject(m, ns_last, Rg, tg, cutoff):
+        kf_sel = m.kf_active & (m.kf_id > cutoff)
+        ns = m.kf_ns
+        P2 = _jnp.where(kf_sel[:, None], ns.P @ Rg.T + tg, ns.P)
+        R2 = _jnp.where(kf_sel[:, None, None],
+                        _jnp.einsum("ij,kjl->kil", Rg, ns.R), ns.R)
+        V2 = _jnp.where(kf_sel[:, None], ns.V @ Rg.T, ns.V)
+        mp_sel = m.mp_active & (m.mp_first_kf > cutoff)
+        X2 = _jnp.where(mp_sel[:, None], m.mp_pos @ Rg.T + tg, m.mp_pos)
+        N2 = _jnp.where(mp_sel[:, None], m.mp_normal @ Rg.T, m.mp_normal)
+        m2 = m._replace(kf_ns=ns._replace(P=P2, R=R2, V=V2),
+                        mp_pos=X2, mp_normal=N2)
+        ns2 = ns_last._replace(P=Rg @ ns_last.P + tg, R=Rg @ ns_last.R,
+                               V=Rg @ ns_last.V)
+        return m2, ns2
+
+    drift_state = {"cutoff": None, "t_start": None}
+    if args.inject_drift:
+        from mc_slam_tpu import lie as _lie
+        _dstep = np.asarray(args.drift_step, np.float32)
+        _Rg = _jnp.asarray(np.asarray(
+            _lie.so3_exp(_jnp.asarray([0.0, 0.0, _dstep[3]]))), _jnp.float32)
+        _tg = _jnp.asarray(_dstep[:3])
+
+    def maybe_inject(t_frame):
+        if not args.inject_drift or not slam.vi_inited or slam.state != 2:
+            return
+        if drift_state["t_start"] is None:
+            drift_state["t_start"] = t_frame
+        rel = t_frame - drift_state["t_start"]
+        if not (args.drift_window[0] <= rel <= args.drift_window[1]):
+            return
+        if drift_state["cutoff"] is None:
+            drift_state["cutoff"] = slam.frame_id - 1
+        cut = jnp.asarray(drift_state["cutoff"], jnp.int32)
+        slam.m, slam.last_ns = _inject(slam.m, slam.last_ns, _Rg, _tg, cut)
+        slam.last_pose = (slam.last_ns.P, slam.last_ns.R)
+        if slam.prior is not None:
+            ns0 = slam.prior.ns0
+            slam.prior = slam.prior._replace(ns0=ns0._replace(
+                P=_Rg @ ns0.P + _tg, R=_Rg @ ns0.R, V=_Rg @ ns0.V))
+
     def run_frame(item):
         nonlocal n
         t_frame, buf, imu_rows = item
         t0 = time.perf_counter()
         slam.track(buf, t_frame, imu=imu_rows)
+        maybe_inject(t_frame)
         times.append(time.perf_counter() - t0)
         n += 1
         if n % 200 == 0:
@@ -341,10 +404,16 @@ def main():
         "commit": commit,
         "dataset": os.path.abspath(args.dataset),
         "dataset_hash": dataset_hash,
+        "drift_injected": bool(args.inject_drift),
+        "drift_params": ({"window_s": args.drift_window,
+                          "step": args.drift_step,
+                          "cutoff_fid": drift_state["cutoff"]}
+                         if args.inject_drift else None),
+        "loop_closing_enabled": not args.no_loops,
         "n_compiles": ncomp,
         "stage_ms": {k: round(v["median_ms"], 2) for k, v in stages.items()},
         "drift": drift,
-        "events": [[int(f), k, d] for f, k, d in slam.events][-80:],
+        "events": [[int(f), k, d] for f, k, d in slam.events][-400:],
         "stage_detail": {k: {"n": v["n"],
                              "median_ms": round(v["median_ms"], 2),
                              "mean_ms": round(v["mean_ms"], 2),

@@ -122,6 +122,15 @@ class LoopDetector:
                  if k != slot and covis[k] < 15
                  and abs(kf_ids[slot] - kf_ids[k]) >= min_gap
                  and scores[k] >= max(min_score, 0.15) and fresh(k)]
+        # diagnostics for the caller's event log: why candidates did (not)
+        # survive the score bar
+        non_cov = [float(scores[k]) for k in kf_slots
+                   if k != slot and covis[k] < 15
+                   and abs(kf_ids[slot] - kf_ids[k]) >= min_gap]
+        self.last_diag = dict(min_score=round(float(min_score), 3),
+                              best_noncovis=round(max(non_cov, default=-1.0),
+                                                  3),
+                              n_cands=len(cands))
         if not cands:
             self.consistent_groups = []
             return []
@@ -154,7 +163,7 @@ class LoopDetector:
 
 
 def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
-                          min_inliers=20, fix_scale=False):
+                          min_inliers=20, fix_scale=False, ext=None):
     """Match map points between the two keyframes' observations, solve Sim3
     (ComputeSim3, src/LoopClosing.cpp:277-498). Returns (ok, s, R, t) with
     (s,R,t) mapping loop-KF camera coords -> current-KF camera coords.
@@ -174,13 +183,15 @@ def compute_sim3_for_loop(m: MapState, key, slot_cur, slot_loop, cam,
         m.kf_pm1[slot_cur], has_c, m.kf_pm1[slot_loop], has_l,
         max_dist=matching.TH_LOW, ratio=0.9,
         angle_a=m.kf_angle[slot_cur], angle_b=m.kf_angle[slot_loop])
-    # 3D positions in each keyframe's CAMERA frame (body==camera assumed here;
-    # extrinsics cancel in the relative Sim3 up to a fixed conjugation)
+    # 3D positions in each keyframe's CAMERA frame (ext=None: body==camera)
     def cam_coords(slot, mp):
         Rwb = m.kf_ns.R[slot]
         Pwb = m.kf_ns.P[slot]
         X = m.mp_pos[jnp.clip(mp, 0, m.P - 1)]
-        return (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+        Xb = (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+        if ext is None:
+            return Xb
+        return (ext.Rcb @ Xb[..., None])[..., 0] + ext.tcb
     Pc_cur = cam_coords(slot_cur, mp_c)
     Pc_loop = cam_coords(slot_loop, mp_l[idx])
     w = ok.astype(jnp.float32)
@@ -392,7 +403,7 @@ def close_loop(m: MapState, kf_slots, slot_cur, slot_loop, sim3_lc, cam,
 
 
 def _guided_match_count_impl(m: MapState, slot_cur, slot_loop, group_slots,
-                             s_lc, R_lc, t_lc, cam):
+                             s_lc, R_lc, t_lc, cam, ext=None):
     """The reference's guided-reprojection verification (ComputeSim3,
     src/LoopClosing.cpp:459-498): project every map point observed by the
     loop KF's covisibility GROUP through the candidate Sim3 into the current
@@ -411,11 +422,12 @@ def _guided_match_count_impl(m: MapState, slot_cur, slot_loop, group_slots,
         jnp.clip(mp, 0, m.P - 1).reshape(-1)].max(
             valid.reshape(-1), mode="drop")
     sel = sel & m.mp_active
-    # world -> loop cam -> (Sim3) -> current cam (body==camera convention of
-    # compute_sim3_for_loop)
+    # world -> loop CAMERA -> (Sim3, camera frames) -> current camera
     Rl = m.kf_ns.R[slot_loop]
     Pl = m.kf_ns.P[slot_loop]
     Xl = (jnp.swapaxes(Rl, -1, -2) @ (m.mp_pos - Pl)[..., None])[..., 0]
+    if ext is not None:
+        Xl = (ext.Rcb @ Xl[..., None])[..., 0] + ext.tcb
     Xc = s_lc * (R_lc @ Xl[..., None])[..., 0] + t_lc
     z = Xc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -439,7 +451,7 @@ guided_match_count = jax.jit(_guided_match_count_impl)
 
 @partial(jax.jit, static_argnames=("fix_scale",))
 def sim3_ransac_batch(m: MapState, keys, slot_cur, cand_slots, min_inliers,
-                      cam, fix_scale=False):
+                      cam, ext=None, fix_scale=False):
     """Sim3 RANSAC + pixel refinement for up to C loop candidates as ONE
     device program (vmapped over candidates).
 
@@ -463,10 +475,18 @@ def sim3_ransac_batch(m: MapState, keys, slot_cur, cand_slots, min_inliers,
     uv_cur = m.kf_uv[slot_cur]
 
     def cam_coords(slot, mp):
+        # TRUE camera-frame coordinates via the body->camera extrinsics.
+        # The body==camera shortcut broke every Sim3 consensus check under a
+        # real Tbc (EuRoC's is a ~90 deg rotation): the projection-based
+        # inlier gates ran on body coords and no candidate — true revisits
+        # included — could ever reach min_inliers (r4: 0/90 accepted).
         Rwb = m.kf_ns.R[slot]
         Pwb = m.kf_ns.P[slot]
         X = m.mp_pos[jnp.clip(mp, 0, m.P - 1)]
-        return (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+        Xb = (jnp.swapaxes(Rwb, -1, -2) @ (X - Pwb)[..., None])[..., 0]
+        if ext is None:
+            return Xb
+        return (ext.Rcb @ Xb[..., None])[..., 0] + ext.tcb
 
     def one(key, c, min_in):
         mp_l = m.kf_mp[c]

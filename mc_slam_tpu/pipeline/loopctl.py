@@ -58,6 +58,9 @@ class LoopCtlMixin:
         with self.timers.stage("lc_detect"):
             cands = self.loop.detect(self.m, slot, act,
                                      kf_ids=self.kf_id_host, handles=handles)
+        diag = getattr(self.loop, "last_diag", None)
+        if diag is not None:
+            self.events.append((self.frame_id, "lc_diag", dict(diag)))
         # Sim3 RANSAC validates consistent candidates in turn (ComputeSim3
         # iterates all nInitialCandidates, src/LoopClosing.cpp:277-330).
         # At most 2 streaked + 1 fallback candidate per event; a candidate
@@ -84,7 +87,7 @@ class LoopCtlMixin:
             packed = loopclosing.sim3_ransac_batch(
                 self.m, keys, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(cand_arr), jnp.asarray(bar_arr), self.cam,
-                fix_scale=self.vi_inited)
+                ext=self.ext, fix_scale=self.vi_inited)
             try:
                 packed.copy_to_host_async()
             except Exception:
@@ -136,6 +139,10 @@ class LoopCtlMixin:
             if bool(ok_a[i]) and c in self.kf_slots:
                 passing.append(dict(c=c, s=float(s_a[i]), R=R_a[i].copy(),
                                     t=t_a[i].copy(), n_in=int(nin_a[i])))
+        self.events.append((self.frame_id, "sim3_result", dict(
+            cands=[int(c) for c in cand_arr[:p["n_todo"]]],
+            n_in=[int(x) for x in nin_a[:p["n_todo"]]],
+            ok=[bool(x) for x in ok_a[:p["n_todo"]]])))
         if not passing:
             return
         self._dispatch_verify(slot, passing, 0, p.get("sync", False))
@@ -169,7 +176,7 @@ class LoopCtlMixin:
                 self.m, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(c, jnp.int32), jnp.asarray(grp, jnp.int32),
                 jnp.asarray(cv["s"]), jnp.asarray(cv["R"]),
-                jnp.asarray(cv["t"]), self.cam)
+                jnp.asarray(cv["t"]), self.cam, ext=self.ext)
             try:
                 h.copy_to_host_async()
             except Exception:
@@ -202,6 +209,9 @@ class LoopCtlMixin:
         with self.timers.stage("lc_verify_pull"):
             n_guided = int(np.asarray(v["h"]))
         cv = v["passing"][v["idx"]]
+        self.events.append((self.frame_id, "verify_result",
+                            dict(cand=cv["c"], n_guided=n_guided,
+                                 n_ransac=cv["n_in"])))
         if n_guided >= 40 and cv["c"] in self.kf_slots:
             from mc_slam_tpu.geometry.sim3solver import Sim3Result
             res = Sim3Result(ok=True, s=jnp.asarray(cv["s"]),
@@ -215,6 +225,18 @@ class LoopCtlMixin:
 
     def _apply_closure(self, slot, cand, res):
         act = list(self.kf_slots)
+        # The RANSAC Sim3 lives in CAMERA frames (loop-cam -> cur-cam);
+        # close_loop's vertices are BODY poses, so conjugate by the
+        # extrinsics: S_b = Tbc o S_c o Tcb
+        Rcb = np.asarray(self.ext.Rcb)
+        tcb = np.asarray(self.ext.tcb)
+        s_c = float(res.s)
+        R_c = np.asarray(res.R)
+        t_c = np.asarray(res.t)
+        R_b = Rcb.T @ R_c @ Rcb
+        t_b = Rcb.T @ (s_c * (R_c @ tcb) + t_c - tcb)
+        res = res._replace(R=jnp.asarray(R_b, jnp.float32),
+                           t=jnp.asarray(t_b, jnp.float32))
         # implied correction BEFORE the map is touched: how far the measured
         # Sim3 moves the current KF vs its estimate (the drift this closure
         # heals). On a low-drift map a LARGE value = the closure is wrong.
